@@ -1,0 +1,144 @@
+"""Edge derivation from the ``repo_files`` table + graph-prep operators.
+
+Pipeline (north_star: "repo/path import- and dependency-edges"):
+
+  repo_files (repo, path, commit, lang, content)
+    → per-row sha256(content) invariant column        [string fn, JVM-side]
+    → regexp import extraction (regexp_extract_all)   [no Python UDF]
+    → module-name resolution join against the vertex dictionary
+    → dense long vertex ids (deterministic two-phase ranking)
+    → edges(src, dst) hash-partitioned by src
+
+Everything is Catalyst-visible column expressions; the only shuffles are the
+distinct + ranking for the dictionary and the two resolution joins (the
+dictionary side is broadcast when small; at 10^12 files both joins are plain
+hash joins on the densified key — AQE picks the strategy).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# `import org<r>.proj<r>.mod_<f>` — multiline, one capture per import line.
+IMPORT_RE = r"(?m)^import\s+([A-Za-z_][\w\.]*)"
+
+
+def with_content_sha(repo_files: DataFrame) -> DataFrame:
+    """Attach the per-row sha256(content) invariant (BASELINE.json input_hint)."""
+    return repo_files.withColumn("content_sha256", F.sha2(F.col("content"), 256))
+
+
+def module_key(repo: "F.Column", path: "F.Column") -> "F.Column":
+    """Canonical module name for a (repo, path) row: org/proj + src/mod_X.py
+    → org.proj.mod_X — the name import statements refer to."""
+    return F.concat(
+        F.regexp_replace(repo, "/", "."),
+        F.lit("."),
+        F.regexp_replace(
+            F.regexp_replace(path, r"\.py$", ""), r"^src/", ""
+        ),
+    )
+
+
+def densify_vertices(df: DataFrame, key_cols: list[str], id_col: str = "vertex") -> DataFrame:
+    """Deterministic dense ids 0..n-1 for distinct key tuples — scalable.
+
+    Two-phase global ranking (no single-partition window, which would
+    serialize a 10^12-row dictionary through one task):
+
+      1. range-repartition distinct keys (global sort order across
+         partitions), rank within each partition,
+      2. collect only the P per-partition counts to the driver, compute
+         prefix offsets, add them back via a broadcast join.
+
+    Order (and therefore the ids) depends only on the key values.
+    """
+    spark = df.sparkSession
+    keys = [F.col(c) for c in key_cols]
+    distinct = df.select(*key_cols).distinct()
+    n_part = max(distinct.rdd.getNumPartitions(), 1)
+    ranged = distinct.repartitionByRange(n_part, *keys).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    local = ranged.withColumn(
+        "_lrank",
+        F.row_number().over(Window.partitionBy("_pid").orderBy(*keys)) - 1,
+    )
+    counts = local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt")).collect()
+    offsets, acc = {}, 0
+    for row in sorted(counts, key=lambda r: r["_pid"]):
+        offsets[row["_pid"]] = acc
+        acc += row["_cnt"]
+    offsets_df = spark.createDataFrame(
+        [(pid, off) for pid, off in offsets.items()], "_pid int, _off long"
+    )
+    return (
+        local.join(F.broadcast(offsets_df), "_pid")
+        .withColumn(id_col, (F.col("_lrank") + F.col("_off")).cast("long"))
+        .drop("_pid", "_lrank", "_off")
+    )
+
+
+def derive_edges(repo_files: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(vertices, edges) from repo_files via import extraction.
+
+    vertices: (vertex long, repo string, path string, module string)
+    edges:    (src long, dst long) — deduplicated, unresolved imports dropped
+    """
+    rf = repo_files.select("repo", "path", "content")
+    vertices = densify_vertices(rf, ["repo", "path"]).withColumn(
+        "module", module_key(F.col("repo"), F.col("path"))
+    )
+
+    imports = (
+        rf.withColumn("imp", F.explode(F.regexp_extract_all("content", F.lit(IMPORT_RE), 1)))
+        .select("repo", "path", "imp")
+    )
+    vdict = vertices.select("vertex", "repo", "path", "module")
+    edges = (
+        imports.join(vdict.select(F.col("vertex").alias("src"), "repo", "path"), ["repo", "path"])
+        .join(
+            vdict.select(F.col("vertex").alias("dst"), F.col("module").alias("imp")),
+            "imp",
+        )
+        .select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+    )
+    return vertices, edges
+
+
+def symmetrize(edges: DataFrame) -> DataFrame:
+    """Undirected view: both directions, deduplicated, no self-loops."""
+    e = edges.select("src", "dst")
+    return (
+        e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .where(F.col("src") != F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+    )
+
+
+def degrees(edges: DataFrame, direction: str = "out") -> DataFrame:
+    """(vertex, degree). direction: out | in | both (both = degree in the
+    symmetrized graph)."""
+    if direction == "out":
+        key = "src"
+        e = edges
+    elif direction == "in":
+        key = "dst"
+        e = edges
+    else:
+        e = symmetrize(edges)
+        key = "src"
+    return (
+        e.groupBy(F.col(key).alias("vertex"))
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+
+
+def partition_edges(edges: DataFrame, num_partitions: int, key: str = "src") -> DataFrame:
+    """Hash-partition the edge table by ``key`` and persist — done ONCE per
+    run so every superstep's frontier join reuses the same layout instead of
+    re-shuffling the (big) edge side each iteration."""
+    return edges.repartition(num_partitions, key).persist()

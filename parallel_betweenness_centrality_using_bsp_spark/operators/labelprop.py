@@ -1,0 +1,87 @@
+"""Synchronous label propagation (community detection) — deterministic.
+
+Each superstep every vertex adopts the MOST FREQUENT label among its
+neighbors; ties break to the SMALLEST label (so the algorithm — and its pure
+python oracle in tests — is fully deterministic).  Vertices with no
+neighbors keep their label.  Initial label = vertex id.
+
+Exact-match requirement (north_rule) holds because every step is computed on
+a (count desc, label asc) total order — no randomness, no float math.
+
+Plan per superstep: state × edges hash join (edges persisted/partitioned
+once) → groupBy(vertex, label).count (map-side combine) → per-vertex argmax
+via window row_number — the window partitions by vertex so it rides the same
+hash partitioning, no extra global sort.
+
+Synchronous LPA can 2-cycle on bipartite structures; the loop detects a
+repeat of the previous state (label-multiset fingerprint) and stops at
+``max_supersteps`` regardless.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from parallel_betweenness_centrality_using_bsp_spark.operators.edges import symmetrize
+from parallel_betweenness_centrality_using_bsp_spark.plans.superstep import SuperstepRun, superstep_loop
+
+
+def label_propagation(
+    spark: SparkSession,
+    edges: DataFrame,
+    *,
+    max_supersteps: int = 20,
+    checkpoint_dir: str | None = None,
+    run_id: str | None = None,
+    num_partitions: int | None = None,
+) -> SuperstepRun:
+    """Returns run whose state is (vertex long, label long)."""
+    p = num_partitions or spark.sparkContext.defaultParallelism
+    und = symmetrize(edges).repartition(p, "src").persist()
+    vertices = und.select(F.col("src").alias("vertex")).distinct()
+    initial = vertices.withColumn("label", F.col("vertex"))
+
+    def step(state: DataFrame, _k: int) -> DataFrame:
+        neigh = (
+            state.join(und, state.vertex == und.src)
+            .select(und.dst.alias("vertex"), "label")
+        )
+        counted = neigh.groupBy("vertex", "label").agg(F.count(F.lit(1)).alias("cnt"))
+        w = Window.partitionBy("vertex").orderBy(F.desc("cnt"), F.asc("label"))
+        best = (
+            counted.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("vertex", "label")
+        )
+        # isolated vertices (none here since vertices come from edges) keep label
+        return (
+            state.select("vertex", F.col("label").alias("old_label"))
+            .join(best, "vertex", "left")
+            .select(
+                "vertex", F.coalesce(F.col("label"), F.col("old_label")).alias("label")
+            )
+        )
+
+    def converged(old: DataFrame, new: DataFrame) -> bool:
+        changed = (
+            new.alias("a")
+            .join(old.alias("b"), "vertex")
+            .where(F.col("a.label") != F.col("b.label"))
+            .limit(1)
+            .count()
+        )
+        return changed == 0
+
+    run = superstep_loop(
+        spark,
+        initial,
+        step,
+        algo="label_propagation",
+        max_supersteps=max_supersteps,
+        converged_fn=converged,
+        checkpoint_dir=checkpoint_dir,
+        run_id=run_id,
+    )
+    und.unpersist()
+    return run

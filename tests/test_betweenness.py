@@ -1,0 +1,100 @@
+import numpy as np
+
+from parallel_betweenness_centrality_using_bsp_spark.operators.betweenness import (
+    betweenness_bsp,
+    betweenness_csr,
+)
+from parallel_betweenness_centrality_using_bsp_spark.sources.graphs import (
+    cycle_graph_edges,
+    edge_df,
+    path_graph_edges,
+    star_graph_edges,
+)
+
+from tests.oracles import (
+    assert_scores_close,
+    ba_graph,
+    df_to_dict,
+    er_graph,
+    oracle_betweenness,
+    oracle_brandes_state,
+)
+
+
+def test_path_graph_closed_form(spark):
+    # P5: bc = [0, 3, 4, 3, 0]
+    res = betweenness_bsp(spark, edge_df(spark, path_graph_edges(5)))
+    got = df_to_dict(res.bc, "vertex", "bc")
+    assert_scores_close(got, {0: 0.0, 1: 3.0, 2: 4.0, 3: 3.0, 4: 0.0})
+
+
+def test_star_graph(spark):
+    # S8 center: (8 choose 2) pairs routed through center = 21
+    res = betweenness_bsp(spark, edge_df(spark, star_graph_edges(7)))
+    got = df_to_dict(res.bc, "vertex", "bc")
+    want = oracle_betweenness(star_graph_edges(7))
+    assert_scores_close(got, want)
+
+
+def test_cycle_graph_both_impls(spark):
+    edges = cycle_graph_edges(6)
+    want = oracle_betweenness(edges)
+    got_bsp = df_to_dict(betweenness_bsp(spark, edge_df(spark, edges)).bc, "vertex", "bc")
+    got_csr = df_to_dict(betweenness_csr(spark, edge_df(spark, edges)).bc, "vertex", "bc")
+    assert_scores_close(got_bsp, want)
+    assert_scores_close(got_csr, want)
+
+
+def test_er_graph_bsp(spark):
+    edges = er_graph(n=60, p=0.08, seed=42)
+    want = oracle_betweenness(edges)
+    res = betweenness_bsp(spark, edge_df(spark, edges), batch_size=64)
+    assert_scores_close(df_to_dict(res.bc, "vertex", "bc"), want)
+    assert res.supersteps > 0 and res.edges_traversed > 0
+
+
+def test_er_graph_csr(spark):
+    edges = er_graph(n=200, p=0.04, seed=42)
+    want = oracle_betweenness(edges)
+    res = betweenness_csr(spark, edge_df(spark, edges))
+    assert_scores_close(df_to_dict(res.bc, "vertex", "bc"), want)
+
+
+def test_ba_skewed_csr(spark):
+    edges = ba_graph(n=300, m=3, seed=42)
+    want = oracle_betweenness(edges)
+    res = betweenness_csr(spark, edge_df(spark, edges))
+    assert_scores_close(df_to_dict(res.bc, "vertex", "bc"), want)
+
+
+def test_directed_graph(spark):
+    edges = [(0, 1), (1, 2), (2, 3), (0, 2), (3, 0)]
+    want = oracle_betweenness(edges, directed=True)
+    res = betweenness_bsp(spark, edge_df(spark, edges), directed=True)
+    assert_scores_close(df_to_dict(res.bc, "vertex", "bc"), want)
+
+
+def test_state_arrays_match_sequential_brandes(spark):
+    """dist/sigma/delta must match the sequential Brandes oracle (1e-6)."""
+    edges = er_graph(n=40, p=0.1, seed=5)
+    source = 0
+    res = betweenness_bsp(
+        spark, edge_df(spark, edges), sources=[source], return_state=True
+    )
+    state = {
+        r["vertex"]: (r["dist"], r["sigma"], r["delta"])
+        for r in res.state.where("source = 0").collect()
+    }
+    dist, sigma, delta = oracle_brandes_state(edges, source)
+    assert {v: d for v, (d, _, _) in state.items()} == dist
+    for v in dist:
+        assert np.isclose(state[v][1], sigma[v], atol=1e-6)
+        assert np.isclose(state[v][2], delta[v], atol=1e-6)
+
+
+def test_source_sampling_partial_sums_agree(spark):
+    edges = er_graph(n=80, p=0.06, seed=9)
+    sources = [0, 5, 17, 33]
+    a = df_to_dict(betweenness_bsp(spark, edge_df(spark, edges), sources=sources).bc, "vertex", "bc")
+    b = df_to_dict(betweenness_csr(spark, edge_df(spark, edges), sources=sources).bc, "vertex", "bc")
+    assert_scores_close(a, b)

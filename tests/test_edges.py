@@ -1,0 +1,68 @@
+import hashlib
+
+from pyspark.sql import functions as F
+
+from parallel_betweenness_centrality_using_bsp_spark.operators.edges import (
+    degrees,
+    densify_vertices,
+    derive_edges,
+    symmetrize,
+    with_content_sha,
+)
+from parallel_betweenness_centrality_using_bsp_spark.sources.repo_files import (
+    expected_import_edges,
+    generate_repo_files,
+)
+
+
+def test_generator_deterministic(spark):
+    a = generate_repo_files(spark, 5, 4).orderBy("repo", "path").collect()
+    b = generate_repo_files(spark, 5, 4).orderBy("repo", "path").collect()
+    assert a == b
+    assert len(a) == 20
+    assert set(r["lang"] for r in a) == {"py"}
+
+
+def test_sha256_invariant(spark):
+    """Engine sha2 must equal python hashlib sha256 per row (input_hint)."""
+    rf = with_content_sha(generate_repo_files(spark, 3, 3))
+    for row in rf.collect():
+        assert row["content_sha256"] == hashlib.sha256(row["content"].encode()).hexdigest()
+
+
+def test_densify_dense_and_deterministic(spark):
+    rf = generate_repo_files(spark, 7, 5)
+    v1 = densify_vertices(rf, ["repo", "path"])
+    ids = sorted(r["vertex"] for r in v1.collect())
+    assert ids == list(range(35))
+    v2 = {(r["repo"], r["path"]): r["vertex"] for r in densify_vertices(rf, ["repo", "path"]).collect()}
+    for r in v1.collect():
+        assert v2[(r["repo"], r["path"])] == r["vertex"]
+
+
+def test_derive_edges_matches_closed_form(spark):
+    n_repos, fpr, ipf = 6, 5, 3
+    rf = generate_repo_files(spark, n_repos, fpr, imports_per_file=ipf)
+    vertices, edges = derive_edges(rf)
+    # map dense vertex ids back to file indices via (repo, path)
+    key_to_idx = {}
+    for r in rf.select("repo", "path").collect():
+        rep = int(r["repo"].split("/")[0][3:])
+        f = int(r["path"].split("_")[1].split(".")[0])
+        key_to_idx[(r["repo"], r["path"])] = rep * fpr + f
+    v_to_idx = {
+        r["vertex"]: key_to_idx[(r["repo"], r["path"])] for r in vertices.collect()
+    }
+    got = {(v_to_idx[r["src"]], v_to_idx[r["dst"]]) for r in edges.collect()}
+    assert got == expected_import_edges(n_repos, fpr, ipf)
+
+
+def test_degrees_and_symmetrize(spark):
+    rf = generate_repo_files(spark, 4, 4)
+    _, edges = derive_edges(rf)
+    m = edges.count()
+    sym = symmetrize(edges)
+    assert sym.count() <= 2 * m
+    out_sum = sum(r["degree"] for r in degrees(edges, "out").collect())
+    in_sum = sum(r["degree"] for r in degrees(edges, "in").collect())
+    assert out_sum == m and in_sum == m

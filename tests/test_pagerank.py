@@ -1,0 +1,28 @@
+from parallel_betweenness_centrality_using_bsp_spark.operators.pagerank import pagerank
+from parallel_betweenness_centrality_using_bsp_spark.sources.graphs import edge_df
+
+from tests.oracles import assert_scores_close, df_to_dict, er_graph, oracle_pagerank
+
+
+def test_small_directed(spark):
+    edges = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 2), (1, 3)]
+    run = pagerank(spark, edge_df(spark, edges), tol=1e-10)
+    got = df_to_dict(run.state, "vertex", "pr")
+    assert_scores_close(got, oracle_pagerank(edges))
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_dangling_nodes(spark):
+    # vertex 3 has no out-edges: dangling mass must be redistributed
+    edges = [(0, 1), (1, 2), (2, 3), (0, 3)]
+    run = pagerank(spark, edge_df(spark, edges), tol=1e-10)
+    got = df_to_dict(run.state, "vertex", "pr")
+    assert_scores_close(got, oracle_pagerank(edges))
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_er_graph(spark):
+    edges = er_graph(n=150, p=0.04, seed=7)
+    run = pagerank(spark, edge_df(spark, edges + [(b, a) for a, b in edges]), tol=1e-10)
+    got = df_to_dict(run.state, "vertex", "pr")
+    assert_scores_close(got, oracle_pagerank(edges, directed=False))
