@@ -1,0 +1,103 @@
+"""Hash-family column functions: shingles, MinHash, SimHash.
+
+MinHash stays entirely JVM-side: k hash functions are ``xxhash64(shingle,
+seed_i)`` and the signature is ``array_min`` over a higher-order
+``transform`` — no Python in the loop, so signatures compute inside
+whole-stage codegen over arbitrarily wide data.
+
+SimHash needs per-token bit voting (64 accumulators per doc), which column
+expressions can't express sanely — it uses an Arrow-batched pandas UDF
+(the sanctioned slow path) with numpy bit tricks, ~1e5 docs/sec/core.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from parallel_betweenness_centrality_using_bsp_spark.functions.text import tokens
+
+
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles; docs with < n tokens yield one whole-doc shingle."""
+    t = tokens(col)
+    k = F.size(t)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(k - (n - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+    )
+    return F.array_distinct(grams)
+
+
+def _salted_hash(salt: int):
+    # Arity-1 closure: a `lambda s, i=i:` would have arity 2 and transform()
+    # would pass the ARRAY INDEX as the second arg, silently collapsing all
+    # k hash functions into one.
+    return lambda s: F.xxhash64(s, F.lit(salt))
+
+
+def minhash_signature(shingles: Column, k: int = 32, seed: int = 42) -> Column:
+    """array<long> of k MinHash values (min over xxhash64(shingle, seed+i))."""
+    return F.array(
+        *[F.array_min(F.transform(shingles, _salted_hash(seed + i))) for i in range(k)]
+    )
+
+
+def band_keys(signature: Column, bands: int, rows_per_band: int, seed: int = 7) -> Column:
+    """array<long> of LSH band hashes (hash of each signature slice)."""
+    return F.array(
+        *[
+            F.xxhash64(F.slice(signature, b * rows_per_band + 1, rows_per_band), F.lit(seed))
+            for b in range(bands)
+        ]
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard over two (deduplicated) shingle arrays."""
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = F.size(F.array_union(a, b)).cast("double")
+    return F.when(union == 0, F.lit(0.0)).otherwise(inter / union)
+
+
+def _simhash64_batch(token_arrays: pd.Series) -> pd.Series:
+    out = np.zeros(len(token_arrays), dtype=np.uint64)
+    masks = np.uint64(1) << np.arange(64, dtype=np.uint64)
+    for row_i, toks in enumerate(token_arrays):
+        if toks is None or len(toks) == 0:
+            continue
+        hs = np.empty(len(toks), dtype=np.uint64)
+        for ti, t in enumerate(toks):
+            h = 0xCBF29CE484222325
+            for ch in t.encode("utf-8"):
+                h = (h ^ ch) * 0x100000001B3 & 0xFFFFFFFFFFFFFFFF
+            hs[ti] = h
+        bits = (hs[:, None] & masks[None, :]) != 0  # (n_tokens, 64)
+        votes = bits.sum(axis=0) * 2 - len(toks)
+        out[row_i] = masks[votes > 0].sum(dtype=np.uint64)
+    return pd.Series(out.view(np.int64))
+
+
+def simhash64(token_col: Column) -> Column:
+    """64-bit SimHash over a token-array column (Charikar 2002).
+
+    Per token: a deterministic FNV-1a 64-bit hash votes +1/-1 per bit; the
+    sign of each accumulated bit forms the fingerprint.  Arrow-batched
+    pandas UDF (constructed lazily — the decorator form would need an
+    active SparkSession at import time).
+    """
+    return pandas_udf(_simhash64_batch, "long")(token_col)
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two 64-bit fingerprints — pure JVM bit ops."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_band(col: Column, band: int) -> Column:
+    """16-bit chunk #band (0..3) of a 64-bit simhash — SimHash LSH key:
+    fingerprints within hamming distance 3 share at least one chunk."""
+    return F.shiftrightunsigned(col, band * 16).bitwiseAND(F.lit(0xFFFF))

@@ -1,0 +1,199 @@
+"""Deduplication operators over a documents table — the training-data
+pipeline's workhorses at 100 TB.
+
+Five families, all shuffle-disciplined:
+
+* ``exact``        — sha256-fingerprint groupBy (one shuffle on the hash,
+                     perfectly balanced keys).
+* ``minhash LSH``  — shingle → k-MinHash signature (JVM-side, see
+                     functions/hashing.py) → band keys → bucket join →
+                     exact-Jaccard verification.  The candidate self-join
+                     happens per (band, band_hash) bucket, so work scales
+                     with bucket sizes, never n².
+* ``simhash``      — 64-bit fingerprint (Arrow UDF) → 16-bit chunk buckets
+                     (within hamming≤3, two fingerprints share ≥1 of 4
+                     chunks) → bit_count verification, all JVM-side.
+* ``n-gram Jaccard`` — exact verify pass reusable standalone on any
+                     candidate pair set.
+* ``embedding near-dup`` — random-hyperplane LSH over embedding columns →
+                     cosine verification (see similarity.py).
+
+``dedup_keep_ids`` turns any duplicate-pair set into a kept-set by running
+the engine's own connected-components over the pair graph (duplicate
+clusters are rarely just pairs) and keeping the minimum id per cluster.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from parallel_betweenness_centrality_using_bsp_spark.functions.hashing import (
+    band_keys,
+    hamming64,
+    jaccard,
+    minhash_signature,
+    simhash64,
+    simhash_band,
+    word_shingles,
+)
+from parallel_betweenness_centrality_using_bsp_spark.functions.text import fingerprint, tokens
+
+
+def exact_duplicate_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(fp, n_docs, keep_id) per group of byte-identical (post-normalization)
+    docs with n_docs > 1."""
+    return (
+        df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min(id_col).alias("keep_id"))
+        .where(F.col("n_docs") > 1)
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Input rows minus exact duplicates (keeps the minimum id per group)."""
+    w = (
+        df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias(id_col))
+    )
+    return df.join(w.select(id_col), id_col, "left_semi")
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    shingle_n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """(a, b) candidate pairs sharing ≥1 LSH band bucket, a < b, distinct."""
+    rows = num_hashes // bands
+    sig = (
+        df.select(
+            F.col(id_col).alias("id"),
+            word_shingles(F.col(text_col), shingle_n).alias("sh"),
+        )
+        .withColumn("sig", minhash_signature(F.col("sh"), num_hashes, seed))
+        .withColumn("bk", band_keys(F.col("sig"), bands, rows))
+        .select("id", F.posexplode("bk").alias("band", "bh"))
+    )
+    left = sig.alias("l")
+    right = sig.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bh") == F.col("r.bh"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
+        .dropDuplicates(["a", "b"])
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact Jaccard verification of (a, b) pairs → (a, b, jaccard) ≥ threshold."""
+    sh = df.select(
+        F.col(id_col).alias("id"), word_shingles(F.col(text_col), shingle_n).alias("sh")
+    )
+    return (
+        pairs.join(sh.select(F.col("id").alias("a"), F.col("sh").alias("sh_a")), "a")
+        .join(sh.select(F.col("id").alias("b"), F.col("sh").alias("sh_b")), "b")
+        .select("a", "b", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    shingle_n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 16,
+    threshold: float = 0.8,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash-LSH candidates, exact-Jaccard verified: (a, b, jaccard)."""
+    cand = minhash_candidate_pairs(
+        df, text_col, id_col,
+        shingle_n=shingle_n, num_hashes=num_hashes, bands=bands, seed=seed,
+    )
+    return ngram_jaccard_pairs(
+        df, cand, text_col, id_col, shingle_n=shingle_n, threshold=threshold
+    )
+
+
+def simhash_dedup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs: (a, b, hamming ≤ max_hamming).
+
+    Bucketing by the four 16-bit chunks guarantees recall for
+    hamming ≤ 3 (pigeonhole); verification is JVM-side bit_count.
+    """
+    fps = df.select(
+        F.col(id_col).alias("id"), simhash64(tokens(F.col(text_col))).alias("fp")
+    )
+    chunks = fps.select(
+        "id", "fp",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band"), simhash_band(F.col("fp"), b).alias("key"))
+                for b in range(4)
+            ])
+        ).alias("c"),
+    ).select("id", "fp", F.col("c.band").alias("band"), F.col("c.key").alias("key"))
+    l, r = chunks.alias("l"), chunks.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("a"),
+            F.col("r.id").alias("b"),
+            hamming64(F.col("l.fp"), F.col("r.fp")).alias("hamming"),
+        )
+        .dropDuplicates(["a", "b"])
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+def dedup_keep_ids(spark: SparkSession, df: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Kept ids after clustering duplicate pairs (connected components over
+    the pair graph, keep min id per cluster).  Duplicate clusters are
+    transitive — A~B, B~C must drop both B and C — so this reuses the
+    engine's own hash-min components rather than naive pair filtering."""
+    from parallel_betweenness_centrality_using_bsp_spark.operators.components import connected_components
+
+    edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    if edges.isEmpty():
+        return df.select(F.col(id_col))
+    labels = connected_components(spark, edges).state
+    drop = labels.where(F.col("vertex") != F.col("label")).select(
+        F.col("vertex").alias(id_col)
+    )
+    return df.select(F.col(id_col)).join(drop, id_col, "left_anti")

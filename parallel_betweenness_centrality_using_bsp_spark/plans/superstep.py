@@ -105,7 +105,14 @@ def superstep_loop(
     ``latest_checkpoint``).
     """
     run_id = run_id or uuid.uuid4().hex[:12]
-    state, _ = _materialize(spark, initial_state, checkpoint_dir, algo, run_id, start_step)
+    if start_step > 0 and checkpoint_dir is not None:
+        # Resuming: initial_state IS the superstep=start_step checkpoint —
+        # rewriting its own source path would delete files mid-read.
+        state = initial_state
+    else:
+        state, _ = _materialize(
+            spark, initial_state, checkpoint_dir, algo, run_id, start_step
+        )
     metrics: list[dict] = []
     converged = False
     step = start_step

@@ -1,0 +1,65 @@
+from pyspark.sql import functions as F
+
+from parallel_betweenness_centrality_using_bsp_spark.operators.dedup import (
+    dedup_keep_ids,
+    exact_dedup,
+    exact_duplicate_groups,
+    minhash_dedup_pairs,
+    simhash_dedup_pairs,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+BASE = "the quick brown fox jumps over the lazy dog and runs far away into the woods tonight"
+
+
+def test_exact_dedup(spark):
+    df = _docs(
+        spark,
+        [
+            (0, "hello world"),
+            (1, "Hello   WORLD"),  # normalizes to same fingerprint
+            (2, "different doc"),
+            (3, "hello world"),
+        ],
+    )
+    groups = exact_duplicate_groups(df).collect()
+    assert len(groups) == 1 and groups[0]["n_docs"] == 3 and groups[0]["keep_id"] == 0
+    kept = sorted(r["doc_id"] for r in exact_dedup(df).collect())
+    assert kept == [0, 2]
+
+
+def test_minhash_finds_near_duplicates(spark):
+    near = BASE.replace("lazy", "sleepy")  # one word changed
+    far = "completely unrelated text about spark shuffle partitions and joins here now"
+    df = _docs(spark, [(0, BASE), (1, near), (2, far), (3, BASE)])
+    pairs = {(r["a"], r["b"]) for r in minhash_dedup_pairs(df, threshold=0.5).collect()}
+    assert (0, 3) in pairs  # identical
+    assert (0, 1) in pairs or (1, 3) in pairs  # near-dup found
+    assert all(2 not in p for p in pairs)  # unrelated never pairs
+
+
+def test_minhash_jaccard_exact_for_identical(spark):
+    df = _docs(spark, [(0, BASE), (1, BASE)])
+    rows = minhash_dedup_pairs(df, threshold=0.99).collect()
+    assert len(rows) == 1 and rows[0]["jaccard"] == 1.0
+
+
+def test_simhash_near_duplicates(spark):
+    near = BASE + " extra"
+    far = "argmax softmax gradient descent tensor kernel epoch batchnorm dropout layer"
+    df = _docs(spark, [(0, BASE), (1, near), (2, far), (3, BASE)])
+    pairs = {(r["a"], r["b"]): r["hamming"] for r in simhash_dedup_pairs(df, max_hamming=3).collect()}
+    assert pairs.get((0, 3)) == 0
+    assert all(2 not in (a, b) for (a, b) in pairs)
+
+
+def test_dedup_keep_ids_transitive_cluster(spark):
+    # A~B and B~C: keep only A even though (A,C) was never emitted as a pair
+    df = _docs(spark, [(10, "x"), (11, "x"), (12, "x"), (13, "y")])
+    pairs = spark.createDataFrame([(10, 11), (11, 12)], "a long, b long")
+    kept = sorted(r["doc_id"] for r in dedup_keep_ids(spark, df, pairs).collect())
+    assert kept == [10, 13]

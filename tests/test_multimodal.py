@@ -1,0 +1,51 @@
+import hashlib
+
+import pytest
+
+from parallel_betweenness_centrality_using_bsp_spark.operators.multimodal import (
+    FEATURE_DIM,
+    decode_media,
+    extract_features,
+    sample_frames,
+    synth_assets,
+)
+
+
+def test_decode_schema_and_sha(spark):
+    assets = synth_assets(spark, 30)
+    decoded = decode_media(assets).collect()
+    assert len(decoded) == 30
+    raw = {r["asset_id"]: bytes(r["data"]) for r in assets.collect()}
+    for r in decoded:
+        assert r["n_bytes"] == 256  # 4 × 64-char hex
+        assert r["sha256"] == hashlib.sha256(raw[r["asset_id"]]).hexdigest()
+
+
+def test_real_mode_is_stubbed(spark):
+    assets = synth_assets(spark, 3)
+    with pytest.raises(Exception) as exc:
+        decode_media(assets, mode="real").collect()
+    assert "NotImplementedError" in str(exc.value) or "real media decoding" in str(exc.value)
+
+
+def test_features_deterministic_shape(spark):
+    assets = synth_assets(spark, 20)
+    f1 = {r["asset_id"]: r["feature"] for r in extract_features(assets).collect()}
+    f2 = {r["asset_id"]: r["feature"] for r in extract_features(assets).collect()}
+    assert f1 == f2
+    assert all(len(v) == FEATURE_DIM for v in f1.values())
+    assert all(0.0 <= x < 1.0 for v in f1.values() for x in v)
+
+
+def test_frame_sampling(spark):
+    assets = synth_assets(spark, 12)
+    frames = sample_frames(assets, every_n_bytes=32, max_frames=4).collect()
+    by_type = {}
+    types = {r["asset_id"]: r["media_type"] for r in assets.collect()}
+    for r in frames:
+        by_type.setdefault(r["asset_id"], []).append(r["frame_idx"])
+    for aid, idxs in by_type.items():
+        if types[aid] == "video":
+            assert sorted(idxs) == [0, 1, 2, 3]
+        else:
+            assert idxs == [0]

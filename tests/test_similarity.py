@@ -1,0 +1,52 @@
+import numpy as np
+from pyspark.sql import functions as F
+
+from parallel_betweenness_centrality_using_bsp_spark.operators.similarity import (
+    ann_topk,
+    brute_force_topk,
+    embedding_neardup_pairs,
+    hyperplane_buckets,
+)
+
+
+def _vec_df(spark, n=200, dim=16, seed=1):
+    rng = np.random.default_rng(seed)
+    vecs = rng.standard_normal((n, dim)).astype(np.float32)
+    rows = [(i, vecs[i].tolist()) for i in range(n)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>"), vecs
+
+
+def test_brute_force_matches_numpy(spark):
+    df, vecs = _vec_df(spark)
+    q = vecs[0].astype(np.float64)
+    cos = (vecs @ q) / (np.linalg.norm(vecs, axis=1) * np.linalg.norm(q))
+    want = list(np.argsort(-cos)[:5])
+    got = [r["vec_id"] for r in brute_force_topk(df, q.tolist(), 5).collect()]
+    assert got == want
+    assert got[0] == 0  # query itself
+
+
+def test_ann_recall_contains_self_and_near(spark):
+    df, vecs = _vec_df(spark, n=300)
+    # plant a near-duplicate of vector 7
+    near = (vecs[7] + np.float32(0.01)).tolist()
+    df = df.union(spark.createDataFrame([(999, near)], "vec_id long, embedding array<float>"))
+    got = [r["vec_id"] for r in ann_topk(spark, df, vecs[7].tolist(), 5, bits=8, probe_hamming=1).collect()]
+    assert 7 in got and 999 in got
+
+
+def test_buckets_deterministic(spark):
+    df, _ = _vec_df(spark, n=50)
+    a = {r["vec_id"]: r["bucket"] for r in hyperplane_buckets(spark, df, dim=16, bits=8).collect()}
+    b = {r["vec_id"]: r["bucket"] for r in hyperplane_buckets(spark, df, dim=16, bits=8).collect()}
+    assert a == b
+    assert all(0 <= v < 256 for v in a.values())
+
+
+def test_embedding_neardup(spark):
+    df, vecs = _vec_df(spark, n=100)
+    dup = (vecs[3] * np.float32(2.0)).tolist()  # same direction, cos = 1
+    df = df.union(spark.createDataFrame([(555, dup)], "vec_id long, embedding array<float>"))
+    pairs = {(r["a"], r["b"]): r["cos"] for r in
+             embedding_neardup_pairs(spark, df, dim=16, threshold=0.99).collect()}
+    assert (3, 555) in pairs and pairs[(3, 555)] >= 0.999

@@ -1,0 +1,83 @@
+import os
+
+from pyspark.sql import functions as F
+
+from parallel_betweenness_centrality_using_bsp_spark.operators.components import connected_components
+from parallel_betweenness_centrality_using_bsp_spark.operators.edges import symmetrize
+from parallel_betweenness_centrality_using_bsp_spark.plans.superstep import (
+    latest_checkpoint,
+    superstep_loop,
+)
+from parallel_betweenness_centrality_using_bsp_spark.sources.graphs import edge_df
+
+from tests.oracles import df_to_dict, oracle_components
+
+
+def _cc_step(und):
+    def step(state, _k):
+        msgs = state.join(und, state.vertex == und.src).select(
+            und.dst.alias("vertex"), "label"
+        )
+        return (
+            state.select("vertex", "label")
+            .unionByName(msgs)
+            .groupBy("vertex")
+            .agg(F.min("label").alias("label"))
+        )
+
+    return step
+
+
+def test_checkpointed_run_writes_state_and_metrics(spark, tmp_path):
+    ckpt = str(tmp_path / "ckpt")
+    edges = [(i, i + 1) for i in range(8)]
+    run = connected_components(
+        spark, edge_df(spark, edges), checkpoint_dir=ckpt, run_id="run1"
+    )
+    assert run.converged
+    base = os.path.join(ckpt, "connected_components", "run1")
+    steps = [d for d in os.listdir(base) if d.startswith("superstep=")]
+    assert len(steps) == run.supersteps + 1  # + initial state
+    metrics = spark.read.parquet(f"{ckpt}/_metrics")
+    assert metrics.count() == run.supersteps
+    assert set(metrics.columns) == {
+        "run_id", "algo", "superstep", "partition_id", "rows", "wall_ms",
+    }
+
+
+def test_resume_mid_iteration_identical_result(spark, tmp_path):
+    """Kill after superstep k, relaunch from the checkpoint, final labels
+    identical to an uninterrupted run (north_rule resumability)."""
+    ckpt = str(tmp_path / "ckpt2")
+    edges = [(i, i + 1) for i in range(12)]  # path: needs many min-label rounds
+    und = symmetrize(edge_df(spark, edges)).persist()
+    vertices = und.select(F.col("src").alias("vertex")).distinct()
+    initial = vertices.withColumn("label", F.col("vertex"))
+
+    # uninterrupted reference run
+    full = superstep_loop(
+        spark, initial, _cc_step(und), algo="cc", max_supersteps=30, run_id="full",
+        converged_fn=lambda old, new: df_to_dict(old, "vertex", "label")
+        == df_to_dict(new, "vertex", "label"),
+    )
+
+    # interrupted run: only 3 supersteps, checkpointed
+    superstep_loop(
+        spark, initial, _cc_step(und), algo="cc", max_supersteps=3,
+        checkpoint_dir=ckpt, run_id="crash",
+    )
+    found = latest_checkpoint(spark, ckpt, "cc", "crash")
+    assert found is not None
+    k, state = found
+    assert k == 3
+
+    resumed = superstep_loop(
+        spark, state, _cc_step(und), algo="cc", max_supersteps=30,
+        checkpoint_dir=ckpt, run_id="crash", start_step=k,
+        converged_fn=lambda old, new: df_to_dict(old, "vertex", "label")
+        == df_to_dict(new, "vertex", "label"),
+    )
+    assert df_to_dict(resumed.state, "vertex", "label") == df_to_dict(
+        full.state, "vertex", "label"
+    ) == oracle_components(edges)
+    und.unpersist()

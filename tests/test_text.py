@@ -1,0 +1,48 @@
+from pyspark.sql import functions as F
+
+from parallel_betweenness_centrality_using_bsp_spark.functions.text import (
+    fingerprint,
+    lang_id,
+    quality_score,
+    token_count,
+)
+
+
+def _one(spark, text, col_fn):
+    return spark.createDataFrame([(text,)], "text string").select(
+        col_fn(F.col("text")).alias("v")
+    ).collect()[0]["v"]
+
+
+def test_token_count(spark):
+    assert _one(spark, "a b  c", token_count) == 3
+    assert _one(spark, "", token_count) == 0
+    assert _one(spark, "   ", token_count) == 0
+    assert _one(spark, "one", token_count) == 1
+
+
+def test_lang_id(spark):
+    assert _one(spark, "the cat and the dog is in that house", lang_id) == "en"
+    assert _one(spark, "der hund und die katze ist nicht ein tier zu", lang_id) == "de"
+    assert _one(spark, "le chat et la maison est une belle que pour", lang_id) == "fr"
+    assert _one(spark, "你好世界", lang_id) == "zh"
+    assert _one(spark, "xyzzy qwerty", lang_id) == "und"
+
+
+def test_fingerprint_normalizes_whitespace_and_case(spark):
+    a = _one(spark, "Hello   World", fingerprint)
+    b = _one(spark, "hello world", fingerprint)
+    c = _one(spark, "hello worlds", fingerprint)
+    assert a == b and a != c
+
+
+def test_quality_score_bounds(spark):
+    docs = [
+        "the quick brown fox jumps over the lazy dog " * 5,
+        "!!! ??? ... ,,,",
+        "",
+    ]
+    df = spark.createDataFrame([(d,) for d in docs], "text string")
+    vals = [r["q"] for r in df.select(quality_score(F.col("text")).alias("q")).collect()]
+    assert all(0.0 <= v <= 1.0 for v in vals)
+    assert vals[0] > vals[1]  # real text beats punctuation soup
