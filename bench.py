@@ -1,0 +1,142 @@
+"""Headline benchmark — run with no args; prints ONE JSON line.
+
+Covers the engine's core surfaces at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]``:
+
+* graph kernels on a seeded synthetic graph (~1e6 directed edges over 1e5
+  vertices, per BASELINE.md): PageRank (10 fixed iterations), connected
+  components, label propagation, triangle count, Brandes betweenness over a
+  64-source sample (CSR fast path) and a 4-source batch through the
+  pure-DataFrame BSP path;
+* relational: TPC-H-ish Q1 and the 6-way join Q5 at the bench scale factor;
+* pipeline: MinHash near-dup over documents, exact cosine top-k over
+  embeddings.
+
+Extra keys beyond the driver contract: ``throughput`` (supersteps/sec,
+edges-traversed/sec, pagerank iters/sec — the BASELINE.json:2 metrics) and
+``env``.  Scaling evidence across parallelism levels lives in
+scripts/scaling_bench.py (writes BASELINE.md numbers).
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+N_VERT = 100_000
+N_EDGE = 1_000_000
+PR_ITERS = 10
+BC_CSR_SOURCES = 64
+BC_BSP_SOURCES = 4
+
+
+def main() -> None:
+    os.environ.setdefault("SPARK_GRAFT_CPUS", CPUS)
+    from pyspark.sql import functions as F
+
+    from parallel_betweenness_centrality_using_bsp_spark.operators.betweenness import (
+        betweenness_bsp,
+        betweenness_csr,
+    )
+    from parallel_betweenness_centrality_using_bsp_spark.operators.components import connected_components
+    from parallel_betweenness_centrality_using_bsp_spark.operators.dedup import minhash_dedup_pairs
+    from parallel_betweenness_centrality_using_bsp_spark.operators.labelprop import label_propagation
+    from parallel_betweenness_centrality_using_bsp_spark.operators.pagerank import pagerank
+    from parallel_betweenness_centrality_using_bsp_spark.operators.similarity import brute_force_topk
+    from parallel_betweenness_centrality_using_bsp_spark.operators.triangles import triangle_count
+    from parallel_betweenness_centrality_using_bsp_spark.session import get_spark
+    from parallel_betweenness_centrality_using_bsp_spark.sources.graphs import random_uniform_graph
+    import __spark_entry__ as entrymod
+
+    spark = get_spark("bench", master=f"local[{CPUS}]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries: dict[str, float] = {}
+    throughput: dict[str, float] = {}
+
+    def timed(name: str, fn):
+        t0 = time.monotonic()
+        out = fn()
+        queries[name] = round(time.monotonic() - t0, 3)
+        return out
+
+    # ---- synthetic graph (seeded, generated partition-parallel) ----
+    g = random_uniform_graph(spark, N_VERT, N_EDGE, seed=42).persist()
+    m = g.count()
+
+    run_pr = timed(
+        "pagerank_10iter", lambda: pagerank(spark, g, tol=0.0, max_supersteps=PR_ITERS)
+    )
+    throughput["pagerank_iters_per_sec"] = round(PR_ITERS / queries["pagerank_10iter"], 4)
+
+    run_cc = timed("connected_components", lambda: connected_components(spark, g))
+    throughput["cc_supersteps_per_sec"] = round(
+        run_cc.supersteps / queries["connected_components"], 4
+    )
+
+    timed("label_propagation_3", lambda: label_propagation(spark, g, max_supersteps=3))
+
+    timed("triangle_count", lambda: triangle_count(spark, g))
+
+    res_csr = timed(
+        "betweenness_csr_64src",
+        lambda: betweenness_csr(spark, g, sources=list(range(BC_CSR_SOURCES))),
+    )
+    throughput["bc_csr_edges_traversed_per_sec"] = round(
+        res_csr.edges_traversed / queries["betweenness_csr_64src"], 1
+    )
+
+    res_bsp = timed(
+        "betweenness_bsp_4src",
+        lambda: betweenness_bsp(
+            spark, g, sources=list(range(BC_BSP_SOURCES)), batch_size=BC_BSP_SOURCES
+        ),
+    )
+    throughput["bc_bsp_supersteps_per_sec"] = round(
+        res_bsp.supersteps / queries["betweenness_bsp_4src"], 4
+    )
+    throughput["bc_bsp_edges_traversed_per_sec"] = round(
+        res_bsp.edges_traversed / queries["betweenness_bsp_4src"], 1
+    )
+    g.unpersist()
+
+    # ---- relational + pipeline at the bench scale factor ----
+    timed("q1_pricing_summary", lambda: entrymod.q1_pricing_summary(spark, SF_DIR).collect())
+    timed("q5_region_revenue", lambda: entrymod.q5_region_revenue(spark, SF_DIR).collect())
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    timed("minhash_neardup", lambda: minhash_dedup_pairs(docs, "text", "doc_id", threshold=0.3).count())
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    qvec = list(emb.where(F.col("vec_id") == 0).select("embedding").first()["embedding"])
+    timed("similarity_topk", lambda: brute_force_topk(emb.where(F.col("vec_id") != 0), qvec, 10).collect())
+
+    total = round(sum(queries.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": queries,
+                "sf": SF_DIR.rstrip("/").split("sf")[-1],
+                "throughput": throughput,
+                "env": {
+                    "cpus": CPUS,
+                    "graph": {"n_vertices": N_VERT, "n_edges_requested": N_EDGE, "n_edges": m},
+                    "pagerank_supersteps": run_pr.supersteps,
+                    "cc_supersteps": run_cc.supersteps,
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

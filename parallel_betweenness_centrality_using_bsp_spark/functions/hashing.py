@@ -40,9 +40,35 @@ def _salted_hash(salt: int):
 
 
 def minhash_signature(shingles: Column, k: int = 32, seed: int = 42) -> Column:
-    """array<long> of k MinHash values (min over xxhash64(shingle, seed+i))."""
+    """array<long> of k MinHash values (min over xxhash64(shingle, seed+i)).
+
+    Column-expression form; fine for small k / narrow rows.  Higher-order
+    functions evaluate interpreted (outside whole-stage codegen), so the hot
+    path for bulk dedup is ``minhash_signatures_agg`` below.
+    """
     return F.array(
         *[F.array_min(F.transform(shingles, _salted_hash(seed + i))) for i in range(k)]
+    )
+
+
+def minhash_signatures_agg(
+    df, id_col: str, shingle_col: str, k: int = 32, seed: int = 42
+):
+    """(id, sig array<long>) via explode + k codegen'd min-aggregations.
+
+    Identical values to ``minhash_signature`` (same xxhash64 family), but the
+    per-shingle hashing runs inside whole-stage codegen and the k mins are
+    one map-side-combined hash aggregation — at 100 TB this is a single
+    shuffle on ``id`` with k·8-byte partial states, vs an interpreted
+    per-row HOF loop."""
+    ex = df.select(F.col(id_col).alias("id"), F.explode(shingle_col).alias("_sh"))
+    aggs = [
+        F.min(F.xxhash64("_sh", F.lit(seed + i))).alias(f"_h{i}") for i in range(k)
+    ]
+    return (
+        ex.groupBy("id")
+        .agg(*aggs)
+        .select("id", F.array(*[f"_h{i}" for i in range(k)]).alias("sig"))
     )
 
 

@@ -32,7 +32,7 @@ from parallel_betweenness_centrality_using_bsp_spark.functions.hashing import (
     band_keys,
     hamming64,
     jaccard,
-    minhash_signature,
+    minhash_signatures_agg,
     simhash64,
     simhash_band,
     word_shingles,
@@ -75,14 +75,17 @@ def minhash_candidate_pairs(
 ) -> DataFrame:
     """(a, b) candidate pairs sharing ≥1 LSH band bucket, a < b, distinct."""
     rows = num_hashes // bands
+    shingled = df.select(
+        F.col(id_col).alias("id"),
+        word_shingles(F.col(text_col), shingle_n).alias("sh"),
+    )
     sig = (
-        df.select(
-            F.col(id_col).alias("id"),
-            word_shingles(F.col(text_col), shingle_n).alias("sh"),
-        )
-        .withColumn("sig", minhash_signature(F.col("sh"), num_hashes, seed))
+        minhash_signatures_agg(shingled, "id", "sh", num_hashes, seed)
         .withColumn("bk", band_keys(F.col("sig"), bands, rows))
         .select("id", F.posexplode("bk").alias("band", "bh"))
+        # Materialize ONCE: the self-join below would otherwise re-run the
+        # whole shingle+signature pipeline for each side.
+        .localCheckpoint(eager=True)
     )
     left = sig.alias("l")
     right = sig.alias("r")
