@@ -75,6 +75,9 @@ def main(argv: list[str] | None = None) -> None:
     common = dict(
         checkpoint_dir=args.checkpoint_dir,
         num_partitions=args.partitions,
+        run_id=args.resume,
+        resume_state=None,
+        start_step=0,
     )
 
     if args.resume and args.checkpoint_dir:
@@ -85,26 +88,22 @@ def main(argv: list[str] | None = None) -> None:
         found = latest_checkpoint(spark, args.checkpoint_dir, algo_name, args.resume)
         if found is None:
             raise SystemExit(f"no checkpoint for run_id={args.resume}")
-        # resume is wired through the operators' run_id/start_step params; the
-        # simplest correct restart re-enters the loop from the found state.
+        common["start_step"], common["resume_state"] = found
 
     if args.algo == "pagerank":
         from parallel_betweenness_centrality_using_bsp_spark.operators.pagerank import pagerank
 
-        run = pagerank(spark, e, tol=args.tol, max_supersteps=args.max_supersteps,
-                       run_id=args.resume, **common)
+        run = pagerank(spark, e, tol=args.tol, max_supersteps=args.max_supersteps, **common)
         out = run.state
     elif args.algo == "components":
         from parallel_betweenness_centrality_using_bsp_spark.operators.components import connected_components
 
-        run = connected_components(spark, e, max_supersteps=args.max_supersteps,
-                                   run_id=args.resume, **common)
+        run = connected_components(spark, e, max_supersteps=args.max_supersteps, **common)
         out = run.state
     elif args.algo == "labelprop":
         from parallel_betweenness_centrality_using_bsp_spark.operators.labelprop import label_propagation
 
-        run = label_propagation(spark, e, max_supersteps=args.max_supersteps,
-                                run_id=args.resume, **common)
+        run = label_propagation(spark, e, max_supersteps=args.max_supersteps, **common)
         out = run.state
     elif args.algo == "triangles":
         from parallel_betweenness_centrality_using_bsp_spark.operators.triangles import triangles_per_vertex

@@ -301,6 +301,78 @@ def build_csr(edges_pd: pd.DataFrame, n: int) -> tuple[np.ndarray, np.ndarray]:
     return indptr, dst
 
 
+def prepare_csr(
+    spark: SparkSession, edges: DataFrame, *, directed: bool = False
+):
+    """One-off CSR build + broadcast: (broadcast(indptr, indices, n), default_sources).
+
+    Driver-side by design — this path targets graphs whose CSR fits in
+    executor memory (10^9 edges ≈ 8 GB); the cost amortizes over every sweep
+    that reuses the broadcast.  Beyond that, use ``betweenness_bsp``.
+    """
+    e = (
+        edges.select("src", "dst").dropDuplicates(["src", "dst"])
+        if directed
+        else symmetrize(edges)
+    )
+    edges_pd = e.toPandas()
+    n = int(max(edges_pd["src"].max(), edges_pd["dst"].max())) + 1
+    indptr, indices = build_csr(edges_pd, n)
+    b_csr = spark.sparkContext.broadcast((indptr, indices, n))
+    default_sources = sorted(set(edges_pd["src"]).union(set(edges_pd["dst"])))
+    return b_csr, default_sources
+
+
+def betweenness_csr_sweep(
+    spark: SparkSession,
+    b_csr,
+    sources: list[int],
+    *,
+    directed: bool = False,
+    num_partitions: int | None = None,
+) -> BetweennessResult:
+    """The source-parallel sweep over a prepared CSR broadcast: each Arrow
+    batch of sources runs a vectorized numpy Brandes kernel; partial bc
+    vectors come back sparse and sum in one hash aggregation."""
+    t0 = time.monotonic()
+    p = num_partitions or spark.sparkContext.defaultParallelism
+    n = b_csr.value[2]
+    n_edges = len(b_csr.value[1])
+    src_df = spark.createDataFrame([(int(s),) for s in sources], "source long")
+    # Explicit repartition with a fixed count, NOT groupBy+applyInPandas: the
+    # source table is a few KB, so AQE's partition coalescing would merge the
+    # tiny shuffle into ONE task and serialize the whole sweep — the cost
+    # here is per-row UDF compute, which AQE's size-based advisory can't see.
+    # repartition(n) pins the partition count (REPARTITION_BY_NUM is exempt
+    # from coalescing), giving p*4 parallel kernel tasks.
+    src_df = src_df.repartition(p * 4)
+
+    def run_batches(batches):
+        ip, ix, nn = b_csr.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            bc = _brandes_numpy(ip, ix, nn, pdf["source"].to_numpy(dtype=np.int64))
+            nz = np.nonzero(bc)[0]
+            yield pd.DataFrame({"vertex": nz.astype(np.int64), "bc": bc[nz]})
+
+    partial = src_df.mapInPandas(run_batches, "vertex long, bc double")
+    scale = 1.0 if directed else 0.5
+    all_v = spark.range(n).select(F.col("id").alias("vertex"))
+    bc = (
+        all_v.join(partial.groupBy("vertex").agg(F.sum("bc").alias("bc")), "vertex", "left")
+        .select("vertex", (F.coalesce(F.col("bc"), F.lit(0.0)) * F.lit(scale)).alias("bc"))
+    )
+    bc = bc.localCheckpoint(eager=True)
+    wall = time.monotonic() - t0
+    return BetweennessResult(
+        bc=bc,
+        supersteps=len(sources),
+        edges_traversed=len(sources) * n_edges,
+        wall_s=wall,
+    )
+
+
 def betweenness_csr(
     spark: SparkSession,
     edges: DataFrame,
@@ -316,35 +388,13 @@ def betweenness_csr(
     that, use ``betweenness_bsp`` or sample sources).
     """
     t0 = time.monotonic()
-    p = num_partitions or spark.sparkContext.defaultParallelism
-    e = (
-        edges.select("src", "dst").dropDuplicates(["src", "dst"])
-        if directed
-        else symmetrize(edges)
+    b_csr, default_sources = prepare_csr(spark, edges, directed=directed)
+    res = betweenness_csr_sweep(
+        spark,
+        b_csr,
+        sources if sources is not None else default_sources,
+        directed=directed,
+        num_partitions=num_partitions,
     )
-    edges_pd = e.toPandas()
-    n = int(max(edges_pd["src"].max(), edges_pd["dst"].max())) + 1
-    indptr, indices = build_csr(edges_pd, n)
-    b_csr = spark.sparkContext.broadcast((indptr, indices, n))
-
-    if sources is None:
-        sources = sorted(set(edges_pd["src"]).union(set(edges_pd["dst"])))
-    src_df = spark.createDataFrame([(int(s),) for s in sources], "source long")
-    src_df = src_df.withColumn("grp", F.pmod(F.col("source"), F.lit(p * 4)))
-
-    def run_batch(pdf: pd.DataFrame) -> pd.DataFrame:
-        ip, ix, nn = b_csr.value
-        bc = _brandes_numpy(ip, ix, nn, pdf["source"].to_numpy(dtype=np.int64))
-        nz = np.nonzero(bc)[0]
-        return pd.DataFrame({"vertex": nz.astype(np.int64), "bc": bc[nz]})
-
-    partial = src_df.groupBy("grp").applyInPandas(run_batch, "vertex long, bc double")
-    scale = 1.0 if directed else 0.5
-    all_v = spark.range(n).select(F.col("id").alias("vertex"))
-    bc = (
-        all_v.join(partial.groupBy("vertex").agg(F.sum("bc").alias("bc")), "vertex", "left")
-        .select("vertex", (F.coalesce(F.col("bc"), F.lit(0.0)) * F.lit(scale)).alias("bc"))
-    )
-    bc = bc.localCheckpoint(eager=True)
-    wall = time.monotonic() - t0
-    return BetweennessResult(bc=bc, supersteps=len(sources), edges_traversed=len(sources) * len(indices), wall_s=wall)
+    res.wall_s = time.monotonic() - t0
+    return res

@@ -34,8 +34,13 @@ def connected_components(
     checkpoint_dir: str | None = None,
     run_id: str | None = None,
     num_partitions: int | None = None,
+    resume_state: DataFrame | None = None,
+    start_step: int = 0,
 ) -> SuperstepRun:
-    """Returns run whose state is (vertex long, label long)."""
+    """Returns run whose state is (vertex long, label long).
+
+    ``resume_state``/``start_step`` restart a checkpointed run mid-iteration.
+    """
     p = num_partitions or spark.sparkContext.defaultParallelism
     und = symmetrize(edges).repartition(p, "src").persist()
 
@@ -68,13 +73,14 @@ def connected_components(
 
     run = superstep_loop(
         spark,
-        initial,
+        resume_state if resume_state is not None else initial,
         step,
         algo="connected_components",
         max_supersteps=max_supersteps,
         converged_fn=converged,
         checkpoint_dir=checkpoint_dir,
         run_id=run_id,
+        start_step=start_step,
     )
     und.unpersist()
     return run

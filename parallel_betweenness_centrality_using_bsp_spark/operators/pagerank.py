@@ -34,14 +34,24 @@ def pagerank(
     checkpoint_dir: str | None = None,
     run_id: str | None = None,
     num_partitions: int | None = None,
+    resume_state: DataFrame | None = None,
+    start_step: int = 0,
 ) -> SuperstepRun:
-    """Returns run whose state is (vertex long, pr double)."""
+    """Returns run whose state is (vertex long, pr double).
+
+    ``resume_state``/``start_step`` (from ``plans.superstep.latest_checkpoint``)
+    restart a crashed checkpointed run mid-iteration.
+    """
     p = num_partitions or spark.sparkContext.defaultParallelism
     e = edges.select("src", "dst").dropDuplicates(["src", "dst"])
+    # Partitioned by vertex ONCE: the per-iteration left join against the
+    # contribution aggregate (whose exchange is also hash(vertex, p)) then
+    # reuses this layout instead of re-shuffling the vertex set every step.
     vertices = (
         e.select(F.col("src").alias("vertex"))
         .unionByName(e.select(F.col("dst").alias("vertex")))
         .distinct()
+        .repartition(p, "vertex")
         .persist()
     )
     n = vertices.count()
@@ -56,8 +66,14 @@ def pagerank(
     initial = vertices.withColumn("pr", F.lit(1.0 / n))
 
     def step(state: DataFrame, _k: int) -> DataFrame:
-        dm_row = state.join(dangling, "vertex", "left_semi").agg(F.sum("pr")).collect()[0][0]
-        dangling_mass = float(dm_row or 0.0)
+        # Dangling mass stays INSIDE the plan as a broadcast 1-row aggregate
+        # (vs a driver-side collect): one Spark job per superstep instead of
+        # two — on an iterative workload the extra job's scheduling latency
+        # is pure serial overhead that caps scaling.
+        dm = (
+            state.join(dangling, "vertex", "left_semi")
+            .agg(F.coalesce(F.sum("pr"), F.lit(0.0)).alias("_dm"))
+        )
         contribs = (
             state.join(edges_w, state.vertex == edges_w.src)
             .select(edges_w.dst.alias("vertex"), (F.col("pr") / F.col("outdeg")).alias("c"))
@@ -66,11 +82,13 @@ def pagerank(
         )
         return (
             vertices.join(contribs, "vertex", "left")
+            .join(F.broadcast(dm))
             .select(
                 "vertex",
                 (
                     F.lit((1.0 - alpha) / n)
-                    + F.lit(alpha) * (F.coalesce(F.col("c"), F.lit(0.0)) + F.lit(dangling_mass / n))
+                    + F.lit(alpha)
+                    * (F.coalesce(F.col("c"), F.lit(0.0)) + F.col("_dm") / F.lit(float(n)))
                 ).alias("pr"),
             )
         )
@@ -86,13 +104,16 @@ def pagerank(
 
     run = superstep_loop(
         spark,
-        initial,
+        resume_state if resume_state is not None else initial,
         step,
         algo="pagerank",
         max_supersteps=max_supersteps,
-        converged_fn=converged,
+        # tol<=0 means "run exactly max_supersteps": skip the per-iteration
+        # convergence join (one fewer Spark job per superstep).
+        converged_fn=converged if tol > 0 else None,
         checkpoint_dir=checkpoint_dir,
         run_id=run_id,
+        start_step=start_step,
     )
     edges_w.unpersist()
     vertices.unpersist()

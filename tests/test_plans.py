@@ -1,0 +1,81 @@
+"""Physical-plan regression tests: the optimizations the engine relies on at
+scale must actually appear in the plans (predicate pushdown into parquet
+scans, broadcast of small join sides, TakeOrderedAndProject for top-k,
+AQE-stable partitioning for compute-heavy UDF stages)."""
+from __future__ import annotations
+
+import os
+import sys
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark):
+    l = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    q = l.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")).select(
+        "l_quantity"
+    )
+    plan = _plan(q)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # column pruning: the scan reads only the needed columns
+    assert "l_extendedprice" not in plan.split("ReadSchema")[1].splitlines()[0]
+
+
+def test_small_dimension_join_broadcasts(spark):
+    n = spark.read.parquet(f"{SF_DIR}/nation.parquet")
+    c = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    q = c.join(n, c.c_nationkey == n.n_nationkey)
+    assert "BroadcastHashJoin" in _plan(q)
+
+
+def test_topk_plans_take_ordered(spark):
+    l = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    q = l.orderBy(F.desc("l_extendedprice")).limit(5)
+    assert "TakeOrderedAndProject" in _plan(q)
+
+
+def test_groupby_has_partial_aggregation(spark):
+    """Map-side combine (the BSP message combiner) must be present."""
+    l = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    q = l.groupBy("l_returnflag").agg(F.sum("l_quantity"))
+    plan = _plan(q)
+    # two HashAggregates around the exchange = partial + final
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_csr_sweep_partition_count_survives_aqe(spark):
+    """Regression for the AQE partition-coalescing trap: a tiny source table
+    feeding a compute-heavy kernel must keep its explicit partition count,
+    not be merged into one task (which serialized the whole sweep)."""
+    src = spark.createDataFrame([(i,) for i in range(256)], "source long")
+    reparted = src.repartition(16)
+
+    def fn(batches):
+        for pdf in batches:
+            yield pdf
+
+    out = reparted.mapInPandas(fn, "source long")
+    import pandas as pd
+
+    counts = out.withColumn("pid", F.spark_partition_id()).groupBy("pid").count()
+    n_parts = counts.count()
+    assert n_parts == 16, f"expected 16 kernel tasks, got {n_parts}"
+
+
+def test_anti_join_for_unvisited_check(spark):
+    """The frontier 'unvisited' filter is an anti join, not a NOT IN scan."""
+    a = spark.range(100).select(F.col("id").alias("vertex"))
+    b = spark.range(50).select(F.col("id").alias("vertex"))
+    q = a.join(b, "vertex", "left_anti")
+    plan = _plan(q)
+    assert "LeftAnti" in plan

@@ -1,0 +1,70 @@
+"""Salted-plan exactness: the skew toolkit must produce identical results to
+the plain plans it replaces (north_rule: salting with exact semantics)."""
+from pyspark.sql import functions as F
+
+from parallel_betweenness_centrality_using_bsp_spark.plans.skew import (
+    detect_hubs,
+    salted_join,
+    split_by_hubs,
+    two_phase_sum,
+)
+from parallel_betweenness_centrality_using_bsp_spark.sources.graphs import (
+    random_power_law_graph,
+)
+
+
+def test_detect_hubs_finds_power_law_head(spark):
+    g = random_power_law_graph(spark, 2000, 20000, seed=42)
+    hubs = detect_hubs(g, "dst", threshold=100)
+    got = {r.hub_key for r in hubs.collect()}
+    # power-law dst concentrates on low ids; vertex 0 is the heaviest hub
+    assert 0 in got
+    oracle = {
+        r.dst
+        for r in g.groupBy("dst").count().where(F.col("count") > 100).collect()
+    }
+    assert got == oracle
+
+
+def test_two_phase_sum_exact(spark):
+    g = random_power_law_graph(spark, 1000, 30000, seed=7).withColumn(
+        "w", (F.col("src") % 13).cast("double")
+    )
+    plain = {
+        (r.dst): (r.s, r.c)
+        for r in g.groupBy("dst")
+        .agg(F.sum("w").alias("s"), F.sum(F.lit(1)).alias("c"))
+        .collect()
+    }
+    salted = {
+        (r.dst): (r.s, r.c)
+        for r in two_phase_sum(
+            g.withColumn("one", F.lit(1)), ["dst"], {"s": "w", "c": "one"}, n_salts=8
+        ).collect()
+    }
+    assert set(plain) == set(salted)
+    for k, (s, c) in plain.items():
+        s2, c2 = salted[k]
+        assert c2 == c
+        assert abs(s2 - s) < 1e-9
+
+
+def test_salted_join_matches_plain_join(spark):
+    g = random_power_law_graph(spark, 500, 10000, seed=9)
+    frontier = spark.createDataFrame([(i,) for i in range(0, 50)], "dst long")
+    plain = sorted(
+        (r.dst, r.src) for r in frontier.join(g, "dst").select("dst", "src").collect()
+    )
+    salted = sorted(
+        (r.dst, r.src)
+        for r in salted_join(frontier, g, "dst", n_salts=4).select("dst", "src").collect()
+    )
+    assert plain == salted
+
+
+def test_split_by_hubs_partitions_rows(spark):
+    g = random_power_law_graph(spark, 1000, 20000, seed=11)
+    hubs = detect_hubs(g, "dst", threshold=200)
+    hub_rows, tail_rows = split_by_hubs(g, hubs, "dst")
+    assert hub_rows.count() + tail_rows.count() == g.count()
+    assert hub_rows.join(tail_rows, ["src", "dst"], "inner").count() == 0
