@@ -238,6 +238,25 @@ def events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming transform (streaming/events.py) run in batch mode —
+    identical logic feeds readStream/writeStream with a watermark; the DuckDB
+    twin uses epoch-aligned time buckets."""
+    from parallel_betweenness_centrality_using_bsp_spark.streaming.events import windowed_event_counts
+
+    e = _t(spark, sf_dir, "events")
+    out = windowed_event_counts(e, "1 hour")
+    return (
+        out.select(
+            F.date_format("window_start", "yyyy-MM-dd HH:mm").alias("win_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("win_start", "event_type")
+    )
+
+
 def part_brand_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """String functions + aggregation: brand stats over filtered parts."""
     p = _t(spark, sf_dir, "part")
@@ -644,6 +663,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "urgent_order_customers": urgent_order_customers,
         "nation_set_ops": nation_set_ops,
         "events_daily": events_daily,
+        "events_windowed": events_windowed,
         "part_brand_stats": part_brand_stats,
         "lineitem_topk": lineitem_topk,
         # text + dedup
@@ -742,6 +762,13 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 6) AS sum_value,
                    count(DISTINCT user_id) AS n_users
             FROM events GROUP BY 1, 2 ORDER BY day, event_type
+        """,
+        "events_windowed": """
+            SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M') AS win_start,
+                   event_type,
+                   count(*) AS n_events,
+                   round(sum(value), 6) AS sum_value
+            FROM events GROUP BY 1, 2 ORDER BY win_start, event_type
         """,
         "part_brand_stats": """
             SELECT p_brand, count(*) AS n_parts,

@@ -27,6 +27,7 @@ SUBSET = [
     "top_customer_per_nation",
     "nation_set_ops",
     "events_daily",
+    "events_windowed",
     "doc_token_stats",
     "doc_lang_id",
     "doc_quality_topk",
