@@ -455,6 +455,15 @@ def graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(spark, e).state.orderBy("vertex")
 
 
+def graph_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same answer as graph_components via the O(log n)-round alternating
+    star-contraction backend (Kiveris et al. 2014) — both oracle-gated."""
+    from parallel_betweenness_centrality_using_bsp_spark.operators.components import connected_components
+
+    e = _order_edges(spark, sf_dir)
+    return connected_components(spark, e, algorithm="starcontract").state.orderBy("vertex")
+
+
 def graph_pagerank5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exactly 5 power iterations (tol=0 disables early convergence) so the
     unrolled DuckDB oracle computes the identical fixed prefix."""
@@ -682,6 +691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_degree_topk": graph_degree_topk,
         "graph_triangle_count": graph_triangle_count,
         "graph_components": graph_components,
+        "graph_components_star": graph_components_star,
         "graph_pagerank5": graph_pagerank5,
         "graph_labelprop3": graph_labelprop3,
         "graph_betweenness": graph_betweenness,
@@ -849,6 +859,15 @@ def oracle_sql() -> dict[str, str]:
             WHERE e1.src < e1.dst AND e2.src < e2.dst
         """,
         "graph_components": f"""
+            WITH RECURSIVE {_EDGES_SQL},
+            reach(vertex, lab) AS (
+                SELECT vertex, vertex FROM vertices
+                UNION
+                SELECT u.dst, r.lab FROM reach r JOIN und u ON u.src = r.vertex
+            )
+            SELECT vertex, min(lab) AS label FROM reach GROUP BY vertex ORDER BY vertex
+        """,
+        "graph_components_star": f"""
             WITH RECURSIVE {_EDGES_SQL},
             reach(vertex, lab) AS (
                 SELECT vertex, vertex FROM vertices

@@ -36,6 +36,44 @@ def connected_components(
     num_partitions: int | None = None,
     resume_state: DataFrame | None = None,
     start_step: int = 0,
+    algorithm: str = "hashmin",
+) -> SuperstepRun:
+    """``algorithm="hashmin"`` (default): label diffusion, O(diameter) rounds
+    — right for small-diameter web/import graphs.  ``algorithm="starcontract"``:
+    alternating large-star/small-star contraction (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC 2014), O(log n) rounds — right
+    for long-chain graphs where diameter ≫ log n."""
+    if algorithm == "starcontract":
+        return _star_contraction(
+            spark,
+            edges,
+            max_supersteps=max_supersteps,
+            checkpoint_dir=checkpoint_dir,
+            run_id=run_id,
+            num_partitions=num_partitions,
+        )
+    return _hashmin(
+        spark,
+        edges,
+        max_supersteps=max_supersteps,
+        checkpoint_dir=checkpoint_dir,
+        run_id=run_id,
+        num_partitions=num_partitions,
+        resume_state=resume_state,
+        start_step=start_step,
+    )
+
+
+def _hashmin(
+    spark: SparkSession,
+    edges: DataFrame,
+    *,
+    max_supersteps: int = 100,
+    checkpoint_dir: str | None = None,
+    run_id: str | None = None,
+    num_partitions: int | None = None,
+    resume_state: DataFrame | None = None,
+    start_step: int = 0,
 ) -> SuperstepRun:
     """Returns run whose state is (vertex long, label long).
 
@@ -84,3 +122,116 @@ def connected_components(
     )
     und.unpersist()
     return run
+
+
+# ---------------------------------------------------------------------------
+# Alternating star contraction (Kiveris et al. 2014) — O(log n) rounds
+# ---------------------------------------------------------------------------
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """For every vertex u: connect each strictly-larger neighbor v > u to
+    m(u) = min(Γ(u) ∪ {u})."""
+    und = e.select("u", "v").unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    m = und.groupBy("u").agg(F.min("v").alias("_mn"))
+    m = m.select("u", F.least("_mn", F.col("u")).alias("m"))
+    return (
+        und.join(m, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .dropDuplicates(["u", "v"])
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Direct each edge toward its larger endpoint; for every vertex u:
+    connect u and all its ≤-neighbors to m(u) = min of that set."""
+    d = (
+        e.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        .where(F.col("u") != F.col("v"))
+        .dropDuplicates(["u", "v"])
+    )
+    m = d.groupBy("u").agg(F.min("v").alias("m"))  # all v < u, so m < u
+    nbrs = d.join(m, "u").select(F.col("v").alias("u"), F.col("m").alias("v"))
+    selfs = m.select("u", F.col("m").alias("v"))
+    return (
+        nbrs.unionByName(selfs)
+        .where(F.col("u") != F.col("v"))
+        .dropDuplicates(["u", "v"])
+    )
+
+
+def _star_contraction(
+    spark: SparkSession,
+    edges: DataFrame,
+    *,
+    max_supersteps: int = 50,
+    checkpoint_dir: str | None = None,
+    run_id: str | None = None,
+    num_partitions: int | None = None,
+) -> SuperstepRun:
+    """Superstep state is the CONTRACTING EDGE SET (u, v); at the fixpoint it
+    is a star forest with every component's min-id vertex at the center.
+    Rounds: O(log n) vs hash-min's O(diameter) — the scale path for graphs
+    with long chains.  Convergence: edge multiset checksum stable (each round
+    strictly decreases the paper's potential function, so a stable checksum
+    is the fixpoint, not a cycle)."""
+    p = num_partitions or spark.sparkContext.defaultParallelism
+    vertices = (
+        edges.select(F.col("src").alias("vertex"))
+        .unionByName(edges.select(F.col("dst").alias("vertex")))
+        .distinct()
+        .repartition(p, "vertex")
+        .persist()
+    )
+    initial = (
+        edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .dropDuplicates(["u", "v"])
+    )
+
+    fingerprint = {"v": None}
+
+    def step(state: DataFrame, _k: int) -> DataFrame:
+        return _small_star(_large_star(state))
+
+    def converged(_old: DataFrame, new: DataFrame) -> bool:
+        row = new.agg(
+            F.count(F.lit(1)).alias("c"),
+            # bit_xor, not sum: ANSI mode overflows on summed 64-bit hashes
+            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+        ).collect()[0]
+        fp = (row["c"], row["h"])
+        done = fingerprint["v"] == fp
+        fingerprint["v"] = fp
+        return done
+
+    run = superstep_loop(
+        spark,
+        initial,
+        step,
+        algo="connected_components_star",
+        max_supersteps=max_supersteps,
+        converged_fn=converged,
+        checkpoint_dir=checkpoint_dir,
+        run_id=run_id,
+    )
+    # star edges (v → center) + centers + vertices that contracted away early
+    star = run.state.select(F.col("u").alias("vertex"), F.col("v").alias("label"))
+    labels = (
+        vertices.join(star, "vertex", "left")
+        .select("vertex", F.coalesce("label", F.col("vertex")).alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    vertices.unpersist()
+    return SuperstepRun(
+        state=labels,
+        supersteps=run.supersteps,
+        run_id=run.run_id,
+        converged=run.converged,
+        metrics=run.metrics,
+    )

@@ -24,3 +24,21 @@ def test_path_graph_diameter(spark):
     run = connected_components(spark, edge_df(spark, edges))
     got = df_to_dict(run.state, "vertex", "label")
     assert set(got.values()) == {0}
+
+
+def test_star_contraction_matches_oracle(spark):
+    edges = er_graph(n=200, p=0.015, seed=3)  # sparse → several components
+    run = connected_components(spark, edge_df(spark, edges), algorithm="starcontract")
+    assert run.converged
+    assert df_to_dict(run.state, "vertex", "label") == oracle_components(edges)
+
+
+def test_star_contraction_logarithmic_rounds_on_chain(spark):
+    """A path graph is hash-min's worst case (rounds = diameter); star
+    contraction must finish in O(log n) rounds and still be exact."""
+    from parallel_betweenness_centrality_using_bsp_spark.sources.graphs import path_graph_edges
+
+    edges = path_graph_edges(60)
+    star = connected_components(spark, edge_df(spark, edges), algorithm="starcontract")
+    assert df_to_dict(star.state, "vertex", "label") == oracle_components(edges)
+    assert star.supersteps <= 10, f"star contraction took {star.supersteps} rounds on P60"
