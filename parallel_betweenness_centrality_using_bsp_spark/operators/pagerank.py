@@ -36,6 +36,7 @@ def pagerank(
     num_partitions: int | None = None,
     resume_state: DataFrame | None = None,
     start_step: int = 0,
+    count_rows: bool = True,
 ) -> SuperstepRun:
     """Returns run whose state is (vertex long, pr double).
 
@@ -114,6 +115,7 @@ def pagerank(
         checkpoint_dir=checkpoint_dir,
         run_id=run_id,
         start_step=start_step,
+        count_rows=count_rows,
     )
     edges_w.unpersist()
     vertices.unpersist()

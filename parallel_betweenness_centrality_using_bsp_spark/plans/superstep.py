@@ -28,6 +28,7 @@ is partitioned by superstep so partition pruning makes resume reads cheap.
 
 from __future__ import annotations
 
+import json
 import time
 import uuid
 from dataclasses import dataclass, field
@@ -63,6 +64,7 @@ def _materialize(
     algo: str,
     run_id: str,
     step: int,
+    count_rows: bool = True,
 ) -> tuple[DataFrame, int]:
     """Barrier: force computation, cut lineage, return (state, row_count)."""
     if checkpoint_dir is not None:
@@ -71,7 +73,7 @@ def _materialize(
         out = spark.read.parquet(path)
         return out, out.count()
     out = df.localCheckpoint(eager=True)
-    return out, out.count()
+    return out, (out.count() if count_rows else -1)
 
 
 def _partition_metrics(df: DataFrame) -> list[tuple[int, int]]:
@@ -96,13 +98,17 @@ def superstep_loop(
     run_id: str | None = None,
     start_step: int = 0,
     metrics_per_partition: bool = False,
+    count_rows: bool = True,
 ) -> SuperstepRun:
     """Run ``state <- step_fn(state, k)`` until convergence or max_supersteps.
 
     ``converged_fn(old, new) -> bool`` runs after each superstep; both
     arguments are already materialized, so actions on them are cheap scans.
     ``start_step`` > 0 resumes counting from a checkpoint (see
-    ``latest_checkpoint``).
+    ``latest_checkpoint``).  ``count_rows=False`` skips the per-superstep
+    row-count job (rows recorded as -1): the count is one extra Spark job of
+    pure serial floor per superstep, which matters when supersteps are short;
+    checkpointed runs always count (the write already scans the data).
     """
     run_id = run_id or uuid.uuid4().hex[:12]
     if start_step > 0 and checkpoint_dir is not None:
@@ -120,7 +126,15 @@ def superstep_loop(
     for step in range(start_step + 1, start_step + max_supersteps + 1):
         t0 = time.monotonic()
         new_state = step_fn(state, step)
-        new_state, n_rows = _materialize(spark, new_state, checkpoint_dir, algo, run_id, step)
+        new_state, n_rows = _materialize(
+            spark,
+            new_state,
+            checkpoint_dir,
+            algo,
+            run_id,
+            step,
+            count_rows=count_rows or checkpoint_dir is not None,
+        )
         wall_ms = (time.monotonic() - t0) * 1000.0
 
         step_metrics = {
@@ -135,12 +149,24 @@ def superstep_loop(
             part_rows = (
                 _partition_metrics(new_state) if metrics_per_partition else [(-1, n_rows)]
             )
+            lineage = json.dumps(
+                {
+                    "algo": algo,
+                    "run_id": run_id,
+                    "superstep": step,
+                    "state_path": _state_path(checkpoint_dir, algo, run_id, step),
+                    "parent_path": _state_path(checkpoint_dir, algo, run_id, step - 1)
+                    if step > start_step
+                    else None,
+                }
+            )
             mdf = spark.createDataFrame(
                 [
-                    (run_id, algo, step, pid, int(rows), float(wall_ms))
+                    (run_id, algo, step, pid, int(rows), float(wall_ms), lineage)
                     for pid, rows in part_rows
                 ],
-                "run_id string, algo string, superstep int, partition_id int, rows long, wall_ms double",
+                "run_id string, algo string, superstep int, partition_id int, "
+                "rows long, wall_ms double, lineage string",
             )
             mdf.write.mode("append").parquet(f"{checkpoint_dir}/_metrics")
 

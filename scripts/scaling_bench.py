@@ -55,7 +55,7 @@ m = g.count()
 gb = random_uniform_graph(spark, 100_000, 1_000_000, seed=42)
 
 t0 = time.monotonic()
-run = pagerank(spark, g, tol=0.0, max_supersteps=10, num_partitions=parts)
+run = pagerank(spark, g, tol=0.0, max_supersteps=10, num_partitions=parts, count_rows=False)
 pr_sec = time.monotonic() - t0
 
 b_csr, _ = prepare_csr(spark, gb)

@@ -41,8 +41,15 @@ def test_checkpointed_run_writes_state_and_metrics(spark, tmp_path):
     metrics = spark.read.parquet(f"{ckpt}/_metrics")
     assert metrics.count() == run.supersteps
     assert set(metrics.columns) == {
-        "run_id", "algo", "superstep", "partition_id", "rows", "wall_ms",
+        "run_id", "algo", "superstep", "partition_id", "rows", "wall_ms", "lineage",
     }
+    import json
+
+    lin = json.loads(metrics.orderBy("superstep").collect()[-1]["lineage"])
+    assert lin["algo"] == "connected_components" and lin["state_path"].endswith(
+        f"superstep={run.supersteps}"
+    )
+    assert lin["parent_path"].endswith(f"superstep={run.supersteps - 1}")
 
 
 def test_resume_mid_iteration_identical_result(spark, tmp_path):
