@@ -62,7 +62,7 @@ def _checkpoint(df: DataFrame) -> DataFrame:
 
 def _prep(
     spark: SparkSession, edges: DataFrame, directed: bool, num_partitions: int | None
-) -> tuple[DataFrame, DataFrame, int]:
+) -> tuple[DataFrame, DataFrame, DataFrame, int]:
     p = num_partitions or spark.sparkContext.defaultParallelism
     e = edges.select("src", "dst").dropDuplicates(["src", "dst"]) if directed else symmetrize(edges)
     e = e.repartition(p, "src").persist()
@@ -73,7 +73,8 @@ def _prep(
         .distinct()
         .persist()
     )
-    return e, vertices, p
+    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("_deg")).persist()
+    return e, vertices, out_deg, p
 
 
 # ---------------------------------------------------------------------------
@@ -95,7 +96,7 @@ def betweenness_bsp(
 ) -> BetweennessResult:
     """Exact Brandes over the given sources (default: every vertex)."""
     t0 = time.monotonic()
-    e, vertices, _p = _prep(spark, edges, directed, num_partitions)
+    e, vertices, out_deg, _p = _prep(spark, edges, directed, num_partitions)
     if sources is None:
         sources = [r["vertex"] for r in vertices.collect()]
 
@@ -117,20 +118,26 @@ def betweenness_bsp(
                 F.lit(1.0).alias("sigma"),
             )
         )
-        visited = frontier.select("source", "vertex")
         levels: list[DataFrame] = [frontier]
         d = 0
         while True:
             d += 1
-            f = frontier
-            if f.count() <= _BROADCAST_FRONTIER_MAX:
-                f = F.broadcast(f)
+            # frontier is always checkpointed → count is a cheap cached scan
+            f = F.broadcast(frontier) if frontier.count() <= _BROADCAST_FRONTIER_MAX else frontier
             msgs = (
                 f.join(e, f.vertex == e.src)
                 .select("source", e.dst.alias("vertex"), "sigma")
                 .persist()
             )
+            # counting msgs doubles as their materialization; the anti join
+            # below then reads the cache instead of re-running the big join
             total_edges_traversed += msgs.count()
+            # Visited set = union of the already-checkpointed levels: an
+            # anti join against cached level DFs, instead of re-materializing
+            # a monotonically growing visited table every superstep.
+            visited = levels[0].select("source", "vertex")
+            for lv in levels[1:]:
+                visited = visited.unionByName(lv.select("source", "vertex"))
             new_frontier = _checkpoint(
                 msgs.join(visited, ["source", "vertex"], "left_anti")
                 .groupBy("source", "vertex")
@@ -142,9 +149,6 @@ def betweenness_bsp(
             total_steps += 1
             if new_frontier.isEmpty():
                 break
-            visited = _checkpoint(
-                visited.unionByName(new_frontier.select("source", "vertex"))
-            )
             levels.append(new_frontier)
             frontier = new_frontier
 
@@ -215,6 +219,7 @@ def betweenness_bsp(
     )
     e.unpersist()
     vertices.unpersist()
+    out_deg.unpersist()
     return BetweennessResult(
         bc=bc,
         supersteps=total_steps,
