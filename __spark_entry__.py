@@ -24,13 +24,13 @@ Coverage map (SURVEY.md §2):
   set depends on the seeded hyperplane family).
 * Graph kernels (Table A) over a deterministic edge table derived from
   ``orders`` (SQL-expressible in both engines): degrees, triangle
-  count, connected components (recursive-CTE oracle), PageRank
-  (5 unrolled iterations in SQL), label propagation (3 unrolled
-  rounds).  Betweenness centrality is iterative + stateful in a way
-  ANSI SQL cannot express (reverse-order dependency accumulation), so
-  it is rows-only here; its real oracle is the NetworkX/numpy
-  sequential-Brandes comparison in tests/test_betweenness.py
-  (allclose 1e-6, per BASELINE.json north_star).
+  count, connected components (recursive-CTE oracle; both hash-min and
+  star-contraction backends), PageRank (5 unrolled iterations in SQL),
+  label propagation (3 unrolled rounds), and Brandes betweenness over
+  a 64-source sample (recursive-CTE BFS distances + depth-unrolled
+  sigma/delta DP in SQL).  The general-graph allclose-1e-6 oracle vs
+  sequential Brandes additionally lives in tests/test_betweenness.py
+  (per BASELINE.json north_star).
 """
 
 from __future__ import annotations
@@ -75,7 +75,14 @@ _EDGES_SQL = f"""
     FROM orders
     WHERE (o_custkey % {GRAPH_MOD}) != (o_orderkey % {GRAPH_MOD})
   ),
-  und AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+  und AS (
+    -- explicit DISTINCT, not bare UNION: under WITH RECURSIVE, DuckDB 1.0
+    -- treats a two-branch UNION CTE as a recursive union and skips
+    -- cross-branch dedup, leaving duplicate rows when the directed edge set
+    -- contains both orientations of a pair
+    SELECT DISTINCT src, dst FROM (
+      SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges)
+  ),
   vertices AS (SELECT DISTINCT src AS vertex FROM und)
 """
 
@@ -484,30 +491,35 @@ def graph_labelprop3(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run.state.orderBy("vertex")
 
 
+BC_SOURCE_CAP = 64  # betweenness partial sums over sources with id < cap
+BC_MAX_DEPTH = 12   # > graph diameter at every sf (measured: 8 @ sf0.001, 3 @ sf0.01)
+
+
 def graph_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brandes betweenness over a 64-source sample (rows-only: reverse-order
-    dependency accumulation is not ANSI-SQL-expressible; the allclose-1e-6
-    oracle vs sequential Brandes lives in tests/test_betweenness.py)."""
+    """Brandes betweenness partial sums over the source sample
+    {v ∈ V : v < 64} — ORACLE-GATED: the DuckDB twin computes the identical
+    quantity with a recursive-CTE BFS (dist), then depth-unrolled DP for
+    sigma (path counts) and the reverse-order delta accumulation.  Source
+    sampling is the standard estimator (Brandes & Pich 2007) and both sides
+    compute the sampled partial sums exactly.  The full allclose-1e-6 oracle
+    vs sequential Brandes on arbitrary graphs lives in
+    tests/test_betweenness.py."""
     from parallel_betweenness_centrality_using_bsp_spark.operators.betweenness import betweenness_csr
-    from parallel_betweenness_centrality_using_bsp_spark.operators.edges import densify_vertices
 
     e = _order_edges(spark, sf_dir)
-    # densify ids to 0..n-1 for the CSR kernel
-    v = densify_vertices(
-        e.select(F.col("src").alias("k")).unionByName(e.select(F.col("dst").alias("k"))),
-        ["k"],
+    verts = (
+        e.select(F.col("src").alias("vertex"))
+        .unionByName(e.select(F.col("dst").alias("vertex")))
+        .distinct()
     )
-    dense = (
-        e.join(v.select(F.col("k").alias("src"), F.col("vertex").alias("s")), "src")
-        .join(v.select(F.col("k").alias("dst"), F.col("vertex").alias("d")), "dst")
-        .select(F.col("s").alias("src"), F.col("d").alias("dst"))
+    sources = sorted(
+        r["vertex"] for r in verts.where(F.col("vertex") < BC_SOURCE_CAP).collect()
     )
-    sources = list(range(0, 64))
-    res = betweenness_csr(spark, dense, sources=sources, directed=False)
+    res = betweenness_csr(spark, e, sources=sources, directed=False)
     return (
-        res.bc.join(v, "vertex")
-        .select(F.col("k").alias("orig_vertex"), F.round("bc", 6).alias("bc"))
-        .orderBy("orig_vertex")
+        res.bc.join(verts, "vertex")
+        .select("vertex", F.round("bc", 6).alias("bc"))
+        .orderBy("vertex")
     )
 
 
@@ -631,6 +643,82 @@ def _pagerank5_sql() -> str:
 """
         )
     parts.append("SELECT vertex, round(pr, 6) AS pr FROM pr5 ORDER BY vertex")
+    return "".join(parts)
+
+
+def _betweenness_sql() -> str:
+    """Full Brandes in SQL for the 64-source sample: recursive-CTE BFS for
+    distances, then depth-unrolled DP (depth > measured graph diameter) for
+    sigma (shortest-path counts, forward) and delta (dependency
+    accumulation, reverse) — layer k's CTE references only layer k±1."""
+    D = BC_MAX_DEPTH
+    # AS MATERIALIZED: DuckDB inlines plain CTEs, so the ~3·D references to
+    # `und`/`dist`/`sig` would each re-open the parquet scan (fd exhaustion)
+    # and recompute the BFS.
+    parts = [
+        f"""WITH RECURSIVE
+  edges AS MATERIALIZED (
+    SELECT DISTINCT (o_custkey % {GRAPH_MOD})::BIGINT AS src,
+                    (o_orderkey % {GRAPH_MOD})::BIGINT AS dst
+    FROM orders
+    WHERE (o_custkey % {GRAPH_MOD}) != (o_orderkey % {GRAPH_MOD})
+  ),
+  und AS MATERIALIZED (
+    SELECT DISTINCT src, dst FROM (
+      SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges)
+  ),
+  vertices AS MATERIALIZED (SELECT DISTINCT src AS vertex FROM und),
+""",
+        f"""
+  src AS (SELECT vertex AS s FROM vertices WHERE vertex < {BC_SOURCE_CAP}),
+  walk(s, v, d) AS (
+    SELECT s, s, 0 FROM src
+    UNION
+    SELECT w.s, u.dst, w.d + 1 FROM walk w JOIN und u ON u.src = w.v WHERE w.d < {D}
+  ),
+  dist AS MATERIALIZED (SELECT s, v, min(d) AS d FROM walk GROUP BY s, v),
+  sig0 AS (SELECT s, s AS v, 1.0::DOUBLE AS sigma, 0 AS d FROM src)
+""",
+    ]
+    for k in range(1, D + 1):
+        parts.append(
+            f""",
+  sig{k} AS (
+    SELECT p.s, u.dst AS v, sum(p.sigma) AS sigma, {k} AS d
+    FROM sig{k - 1} p JOIN und u ON u.src = p.v
+    JOIN dist dd ON dd.s = p.s AND dd.v = u.dst AND dd.d = {k}
+    GROUP BY p.s, u.dst)
+"""
+        )
+    parts.append(
+        ",\n  sig AS MATERIALIZED ("
+        + " UNION ALL ".join(f"SELECT * FROM sig{k}" for k in range(D + 1))
+        + ")"
+    )
+    parts.append(f",\n  del{D} AS (SELECT s, v, 0.0::DOUBLE AS delta FROM sig WHERE d = {D})")
+    for k in range(D - 1, 0, -1):
+        parts.append(
+            f""",
+  del{k} AS (
+    SELECT lv.s, lv.v,
+           coalesce(sum(lv.sigma / sw.sigma * (1.0 + sw.delta)), 0.0) AS delta
+    FROM (SELECT s, v, sigma FROM sig WHERE d = {k}) lv
+    LEFT JOIN und u ON u.src = lv.v
+    LEFT JOIN (SELECT g.s, g.v, g.sigma, dl.delta
+               FROM sig g JOIN del{k + 1} dl ON dl.s = g.s AND dl.v = g.v
+               WHERE g.d = {k + 1}) sw
+      ON sw.s = lv.s AND sw.v = u.dst
+    GROUP BY lv.s, lv.v)
+"""
+        )
+    union_del = " UNION ALL ".join(f"SELECT * FROM del{k}" for k in range(1, D + 1))
+    parts.append(
+        f""",
+  bcsum AS (SELECT v AS vertex, sum(delta) AS b FROM ({union_del}) GROUP BY v)
+SELECT vt.vertex, round(coalesce(b, 0.0) * 0.5, 6) AS bc
+FROM vertices vt LEFT JOIN bcsum USING (vertex) ORDER BY vertex
+"""
+    )
     return "".join(parts)
 
 
@@ -878,7 +966,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "graph_pagerank5": _pagerank5_sql(),
         "graph_labelprop3": _labelprop3_sql(),
+        "graph_betweenness": _betweenness_sql(),
         # rows-only (no ANSI-SQL twin — see docstrings):
-        #   minhash_neardup, simhash_neardup, ann_topk, graph_betweenness,
-        #   multimodal_pipeline
+        #   minhash_neardup, simhash_neardup, ann_topk, multimodal_pipeline
     }

@@ -38,6 +38,7 @@ SUBSET = [
     "graph_components",
     "graph_pagerank5",
     "graph_labelprop3",
+    "graph_betweenness",
 ]
 
 
@@ -88,6 +89,5 @@ def test_every_oracle_key_has_a_query():
         "minhash_neardup",
         "simhash_neardup",
         "ann_topk",
-        "graph_betweenness",
         "multimodal_pipeline",
     }
