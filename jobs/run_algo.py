@@ -37,11 +37,18 @@ def build_parser() -> argparse.ArgumentParser:
     src.add_argument("--synthetic", help="N_VERTICES:N_EDGES seeded uniform graph")
     ap.add_argument("--output", required=True, help="output parquet path")
     ap.add_argument("--checkpoint-dir", default=None)
-    ap.add_argument("--resume", default=None, help="run_id to resume")
+    ap.add_argument("--run-id", default=None, help="name this run (for later --resume)")
+    ap.add_argument("--resume", default=None,
+                    help="run_id of an existing checkpointed run to restart "
+                         "from its newest complete superstep")
     ap.add_argument("--max-supersteps", type=int, default=30)
     ap.add_argument("--tol", type=float, default=1e-8)
     ap.add_argument("--sources", type=int, default=64,
                     help="betweenness source-sample size")
+    ap.add_argument("--cc-algorithm", default="hashmin",
+                    choices=["hashmin", "starcontract"],
+                    help="components backend: hashmin (O(diameter) rounds) or "
+                         "starcontract (O(log n) rounds)")
     ap.add_argument("--partitions", type=int, default=None)
     ap.add_argument("--seed", type=int, default=42)
     return ap
@@ -75,7 +82,7 @@ def main(argv: list[str] | None = None) -> None:
     common = dict(
         checkpoint_dir=args.checkpoint_dir,
         num_partitions=args.partitions,
-        run_id=args.resume,
+        run_id=args.resume or args.run_id,
         resume_state=None,
         start_step=0,
     )
@@ -98,7 +105,10 @@ def main(argv: list[str] | None = None) -> None:
     elif args.algo == "components":
         from parallel_betweenness_centrality_using_bsp_spark.operators.components import connected_components
 
-        run = connected_components(spark, e, max_supersteps=args.max_supersteps, **common)
+        run = connected_components(
+            spark, e, max_supersteps=args.max_supersteps,
+            algorithm=args.cc_algorithm, **common,
+        )
         out = run.state
     elif args.algo == "labelprop":
         from parallel_betweenness_centrality_using_bsp_spark.operators.labelprop import label_propagation

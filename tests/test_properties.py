@@ -47,6 +47,27 @@ def test_triangle_count_matches_oracle(spark, edges):
 
 @given(edges=edge_lists)
 @SLOW
+def test_star_contraction_matches_hashmin(spark, edges):
+    a = df_to_dict(
+        connected_components(spark, edge_df(spark, edges), algorithm="starcontract").state,
+        "vertex", "label",
+    )
+    assert a == oracle_components(edges)
+
+
+@given(edges=edge_lists)
+@SLOW
+def test_betweenness_matches_oracle(spark, edges):
+    from parallel_betweenness_centrality_using_bsp_spark.operators.betweenness import betweenness_csr
+
+    from tests.oracles import assert_scores_close, oracle_betweenness
+
+    got = df_to_dict(betweenness_csr(spark, edge_df(spark, edges)).bc, "vertex", "bc")
+    assert_scores_close(got, oracle_betweenness(edges))
+
+
+@given(edges=edge_lists)
+@SLOW
 def test_pagerank_mass_conserved(spark, edges):
     run = pagerank(spark, edge_df(spark, edges), tol=0.0, max_supersteps=3)
     total = run.state.agg(F.sum("pr")).collect()[0][0]
