@@ -22,6 +22,8 @@ from pyspark.sql import functions as F
 
 # `import org<r>.proj<r>.mod_<f>` — multiline, one capture per import line.
 IMPORT_RE = r"(?m)^import\s+([A-Za-z_][\w\.]*)"
+# `from org<r>.proj<r>.mod_<f> import name` — module captured, names ignored.
+FROM_IMPORT_RE = r"(?m)^from\s+([A-Za-z_][\w\.]*)\s+import\b"
 
 
 def with_content_sha(repo_files: DataFrame) -> DataFrame:
@@ -92,7 +94,15 @@ def derive_edges(repo_files: DataFrame) -> tuple[DataFrame, DataFrame]:
     )
 
     imports = (
-        rf.withColumn("imp", F.explode(F.regexp_extract_all("content", F.lit(IMPORT_RE), 1)))
+        rf.withColumn(
+            "imp",
+            F.explode(
+                F.concat(
+                    F.regexp_extract_all("content", F.lit(IMPORT_RE), 1),
+                    F.regexp_extract_all("content", F.lit(FROM_IMPORT_RE), 1),
+                )
+            ),
+        )
         .select("repo", "path", "imp")
     )
     vdict = vertices.select("vertex", "repo", "path", "module")

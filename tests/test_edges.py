@@ -66,3 +66,25 @@ def test_degrees_and_symmetrize(spark):
     out_sum = sum(r["degree"] for r in degrees(edges, "out").collect())
     in_sum = sum(r["degree"] for r in degrees(edges, "in").collect())
     assert out_sum == m and in_sum == m
+
+
+def test_from_import_edges(spark):
+    """`from X import name` lines resolve like plain imports; unresolvable
+    modules and self-imports are dropped."""
+    rows = [
+        ("org0/proj0", "src/mod_0.py", "c0", "py",
+         "from org0.proj0.mod_1 import fn\nimport org0.proj0.mod_2\n"),
+        ("org0/proj0", "src/mod_1.py", "c1", "py",
+         "from org9.nowhere import missing\n"),
+        ("org0/proj0", "src/mod_2.py", "c2", "py", "import org0.proj0.mod_2\n"),
+    ]
+    rf = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string"
+    )
+    vertices, edges = derive_edges(rf)
+    vmap = {r["path"]: r["vertex"] for r in vertices.collect()}
+    got = {(r["src"], r["dst"]) for r in edges.collect()}
+    assert got == {
+        (vmap["src/mod_0.py"], vmap["src/mod_1.py"]),
+        (vmap["src/mod_0.py"], vmap["src/mod_2.py"]),
+    }
