@@ -191,19 +191,23 @@ def latest_checkpoint(
     """Newest complete superstep for (algo, run_id), or None.
 
     Completeness = parquet commit marker (_SUCCESS) present, so a superstep
-    that died mid-write is never resumed from.
+    that died mid-write is never resumed from.  Listing goes through the
+    Hadoop FileSystem API, so resume works on any supported store (s3a://,
+    gs://, hdfs://, file://), not just the local filesystem.
     """
-    import os
-
-    base = f"{checkpoint_dir}/{algo}/{run_id}"
-    if not os.path.isdir(base):
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    base = jvm.org.apache.hadoop.fs.Path(f"{checkpoint_dir}/{algo}/{run_id}")
+    fs = base.getFileSystem(conf)
+    if not fs.exists(base):
         return None
     steps = []
-    for name in os.listdir(base):
-        if name.startswith("superstep=") and os.path.exists(
-            os.path.join(base, name, "_SUCCESS")
-        ):
-            steps.append(int(name.split("=", 1)[1]))
+    for status in fs.listStatus(base):
+        name = status.getPath().getName()
+        if status.isDirectory() and name.startswith("superstep="):
+            marker = jvm.org.apache.hadoop.fs.Path(status.getPath(), "_SUCCESS")
+            if fs.exists(marker):
+                steps.append(int(name.split("=", 1)[1]))
     if not steps:
         return None
     k = max(steps)
