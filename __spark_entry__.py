@@ -495,6 +495,30 @@ BC_SOURCE_CAP = 64  # betweenness partial sums over sources with id < cap
 BC_MAX_DEPTH = 12   # > graph diameter at every sf (measured: 8 @ sf0.001, 3 @ sf0.01)
 
 
+def graph_bfs_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS distances (the reference's per-source dist[] array)
+    from sources {v ∈ V : v < 8}; oracle = recursive-CTE BFS."""
+    from parallel_betweenness_centrality_using_bsp_spark.operators.bfs import bfs_distances
+
+    e = _order_edges(spark, sf_dir)
+    verts = (
+        e.select(F.col("src").alias("vertex"))
+        .unionByName(e.select(F.col("dst").alias("vertex")))
+        .distinct()
+    )
+    sources = sorted(r["vertex"] for r in verts.where(F.col("vertex") < 8).collect())
+    return bfs_distances(spark, e, sources).orderBy("source", "vertex")
+
+
+def dedup_kept_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end exact dedup: rows kept after dropping normalized-text
+    duplicates (min doc_id kept per group)."""
+    from parallel_betweenness_centrality_using_bsp_spark.operators.dedup import exact_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    return exact_dedup(d, "text", "doc_id").agg(F.count(F.lit(1)).alias("n_kept"))
+
+
 def graph_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brandes betweenness partial sums over the source sample
     {v ∈ V : v < 64} — ORACLE-GATED: the DuckDB twin computes the identical
@@ -783,6 +807,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_pagerank5": graph_pagerank5,
         "graph_labelprop3": graph_labelprop3,
         "graph_betweenness": graph_betweenness,
+        "graph_bfs_dist": graph_bfs_dist,
+        "dedup_kept_count": dedup_kept_count,
         # multimodal
         "multimodal_pipeline": multimodal_pipeline,
     }
@@ -967,6 +993,22 @@ def oracle_sql() -> dict[str, str]:
         "graph_pagerank5": _pagerank5_sql(),
         "graph_labelprop3": _labelprop3_sql(),
         "graph_betweenness": _betweenness_sql(),
+        "graph_bfs_dist": f"""
+            WITH RECURSIVE {_EDGES_SQL},
+            src AS (SELECT vertex AS s FROM vertices WHERE vertex < 8),
+            walk(s, v, d) AS (
+                SELECT s, s, 0 FROM src
+                UNION
+                SELECT w.s, u.dst, w.d + 1 FROM walk w JOIN und u ON u.src = w.v
+                WHERE w.d < {BC_MAX_DEPTH}
+            )
+            SELECT s AS source, v AS vertex, min(d)::INT AS dist
+            FROM walk GROUP BY s, v ORDER BY source, vertex
+        """,
+        "dedup_kept_count": r"""
+            SELECT count(DISTINCT sha256(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))) AS n_kept
+            FROM documents
+        """,
         # rows-only (no ANSI-SQL twin — see docstrings):
         #   minhash_neardup, simhash_neardup, ann_topk, multimodal_pipeline
     }

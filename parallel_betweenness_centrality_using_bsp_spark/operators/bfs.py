@@ -1,0 +1,68 @@
+"""Multi-source BFS distances — the reference's per-source ``dist[]`` array
+as a standalone operator (SURVEY.md §2 A6/A8/A9 surfaced directly).
+
+Same superstep structure as the betweenness forward phase: one BFS level ==
+one superstep; the frontier×edges hash join is the message exchange, the
+per-level materialization is the barrier, small frontiers are broadcast.
+State is keyed by (source, vertex) so a batch of sources advances in the
+same wave of jobs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from parallel_betweenness_centrality_using_bsp_spark.operators.edges import symmetrize
+
+_BROADCAST_FRONTIER_MAX = 500_000
+
+
+def bfs_distances(
+    spark: SparkSession,
+    edges: DataFrame,
+    sources: list[int],
+    *,
+    directed: bool = False,
+    num_partitions: int | None = None,
+    max_depth: int | None = None,
+) -> DataFrame:
+    """(source long, vertex long, dist int) for every vertex reachable from
+    each source (unreachable vertices are absent)."""
+    p = num_partitions or spark.sparkContext.defaultParallelism
+    e = (
+        edges.select("src", "dst").dropDuplicates(["src", "dst"])
+        if directed
+        else symmetrize(edges)
+    )
+    e = e.repartition(p, "src").persist()
+    e.count()
+
+    frontier = spark.createDataFrame(
+        [(int(s), int(s), 0) for s in sources], "source long, vertex long, dist int"
+    ).localCheckpoint(eager=True)
+    levels = [frontier]
+    d = 0
+    while max_depth is None or d < max_depth:
+        d += 1
+        f = F.broadcast(frontier) if frontier.count() <= _BROADCAST_FRONTIER_MAX else frontier
+        msgs = f.join(e, f.vertex == e.src).select("source", e.dst.alias("vertex"))
+        visited = levels[0].select("source", "vertex")
+        for lv in levels[1:]:
+            visited = visited.unionByName(lv.select("source", "vertex"))
+        new_frontier = (
+            msgs.join(visited, ["source", "vertex"], "left_anti")
+            .distinct()
+            .withColumn("dist", F.lit(d))
+            .localCheckpoint(eager=True)
+        )
+        if new_frontier.isEmpty():
+            break
+        levels.append(new_frontier)
+        frontier = new_frontier
+
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    e.unpersist()
+    return out

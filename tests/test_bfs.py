@@ -1,0 +1,43 @@
+import networkx as nx
+
+from parallel_betweenness_centrality_using_bsp_spark.operators.bfs import bfs_distances
+from parallel_betweenness_centrality_using_bsp_spark.sources.graphs import (
+    edge_df,
+    path_graph_edges,
+)
+
+from tests.oracles import er_graph
+
+
+def test_path_graph_distances(spark):
+    got = {
+        (r.source, r.vertex): r.dist
+        for r in bfs_distances(spark, edge_df(spark, path_graph_edges(6)), [0, 3]).collect()
+    }
+    assert got[(0, 5)] == 5 and got[(0, 0)] == 0
+    assert got[(3, 0)] == 3 and got[(3, 5)] == 2
+
+
+def test_er_graph_matches_networkx(spark):
+    edges = er_graph(n=120, p=0.03, seed=11)
+    g = nx.Graph()
+    g.add_edges_from(edges)
+    sources = [0, 7, 23]
+    got = {
+        (r.source, r.vertex): r.dist
+        for r in bfs_distances(spark, edge_df(spark, edges), sources).collect()
+    }
+    want = {}
+    for s in sources:
+        for v, d in nx.single_source_shortest_path_length(g, s).items():
+            want[(s, v)] = d
+    assert got == want
+
+
+def test_directed_and_max_depth(spark):
+    edges = [(0, 1), (1, 2), (2, 3)]
+    got = {
+        (r.source, r.vertex): r.dist
+        for r in bfs_distances(spark, edge_df(spark, edges), [0], directed=True, max_depth=2).collect()
+    }
+    assert got == {(0, 0): 0, (0, 1): 1, (0, 2): 2}

@@ -39,6 +39,8 @@ SUBSET = [
     "graph_pagerank5",
     "graph_labelprop3",
     "graph_betweenness",
+    "graph_bfs_dist",
+    "dedup_kept_count",
 ]
 
 
