@@ -283,6 +283,26 @@ def part_brand_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollup aggregation: order counts/totals at (priority, status), per
+    priority, and grand-total levels in one pass."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .select(
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            "n_orders",
+            "total_price",
+        )
+        .orderBy("priority", "status")
+    )
+
+
 def lineitem_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k (TakeOrderedAndProject): 15 priciest shipped line items."""
     l = _t(spark, sf_dir, "lineitem")
@@ -787,6 +807,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_windowed": events_windowed,
         "part_brand_stats": part_brand_stats,
         "lineitem_topk": lineitem_topk,
+        "orders_rollup": orders_rollup,
         # text + dedup
         "doc_token_stats": doc_token_stats,
         "doc_lang_id": doc_lang_id,
@@ -901,6 +922,15 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(p_retailprice), 2) AS sum_price
             FROM part WHERE p_type NOT LIKE 'SMALL%'
             GROUP BY p_brand ORDER BY p_brand
+        """,
+        "orders_rollup": """
+            SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+                   coalesce(o_orderstatus, 'ALL') AS status,
+                   count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS total_price
+            FROM orders
+            GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+            ORDER BY priority, status
         """,
         "lineitem_topk": """
             SELECT l_orderkey, l_linenumber,
