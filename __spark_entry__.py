@@ -388,6 +388,20 @@ def jaccard_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def training_set_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data pipeline: language filter → quality filter
+    → exact dedup (keep min doc_id per normalized-text group) → selected ids.
+    One oracle-checked query exercising the full selection path."""
+    from parallel_betweenness_centrality_using_bsp_spark.functions.text import lang_id, quality_score
+    from parallel_betweenness_centrality_using_bsp_spark.operators.dedup import exact_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    filtered = d.where(
+        (lang_id(F.col("text")) == "en") & (quality_score(F.col("text")) >= 0.5)
+    )
+    return exact_dedup(filtered, "text", "doc_id").select("doc_id").orderBy("doc_id")
+
+
 def minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidates + exact-Jaccard verify (rows-only: xxhash64
     hash family has no DuckDB twin; Jaccard leg oracle-checked above)."""
@@ -814,6 +828,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality_topk": doc_quality_topk,
         "exact_dup_groups": exact_dup_groups,
         "jaccard_pairs_exact": jaccard_pairs_exact,
+        "training_set_selection": training_set_selection,
         "minhash_neardup": minhash_neardup,
         "simhash_neardup": simhash_neardup,
         # similarity
@@ -973,6 +988,18 @@ def oracle_sql() -> dict[str, str]:
                          ELSE len(list_intersect(sa, sb))::DOUBLE
                               / len(list_distinct(sa || sb)) END, 6) AS jaccard
             FROM pairs ORDER BY a, b
+        """,
+        "training_set_selection": f"""
+            WITH filtered AS (
+                SELECT doc_id, text FROM documents
+                WHERE ({_lang_case()}) = 'en' AND ({_quality_sql()}) >= 0.5
+            ),
+            keep AS (
+                SELECT min(doc_id) AS doc_id
+                FROM filtered
+                GROUP BY sha256(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+            )
+            SELECT doc_id FROM keep ORDER BY doc_id
         """,
         "similarity_topk": """
             SELECT e.vec_id,

@@ -32,6 +32,8 @@ SUBSET = [
     "doc_lang_id",
     "doc_quality_topk",
     "jaccard_pairs_exact",
+    "training_set_selection",
+    "orders_rollup",
     "similarity_topk",
     "graph_degree_topk",
     "graph_triangle_count",
