@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from parallel_betweenness_centrality_using_bsp_spark.operators.edges import symmetrize
+from parallel_betweenness_centrality_using_bsp_spark.plans.superstep import IncrementalVisited
 
 _BROADCAST_FRONTIER_MAX = 500_000
 
@@ -42,16 +43,16 @@ def bfs_distances(
         [(int(s), int(s), 0) for s in sources], "source long, vertex long, dist int"
     ).localCheckpoint(eager=True)
     levels = [frontier]
+    # O(1)-deep anti-join target at any depth (vs re-unioning all levels
+    # every superstep = O(depth²) total scans on long-diameter graphs).
+    visited = IncrementalVisited(frontier, ["source", "vertex"])
     d = 0
     while max_depth is None or d < max_depth:
         d += 1
         f = F.broadcast(frontier) if frontier.count() <= _BROADCAST_FRONTIER_MAX else frontier
         msgs = f.join(e, f.vertex == e.src).select("source", e.dst.alias("vertex"))
-        visited = levels[0].select("source", "vertex")
-        for lv in levels[1:]:
-            visited = visited.unionByName(lv.select("source", "vertex"))
         new_frontier = (
-            msgs.join(visited, ["source", "vertex"], "left_anti")
+            msgs.join(visited.df(), ["source", "vertex"], "left_anti")
             .distinct()
             .withColumn("dist", F.lit(d))
             .localCheckpoint(eager=True)
@@ -59,6 +60,7 @@ def bfs_distances(
         if new_frontier.isEmpty():
             break
         levels.append(new_frontier)
+        visited.add(new_frontier)
         frontier = new_frontier
 
     out = levels[0]

@@ -185,6 +185,42 @@ def superstep_loop(
     )
 
 
+class IncrementalVisited:
+    """Incrementally-grown membership set for frontier anti-joins.
+
+    BFS-style loops must anti-join each new frontier against *everything seen
+    so far*.  Re-unioning all L prior levels every superstep costs O(L) plan
+    nodes and cached scans per step — O(L²) total, a scale-killer on
+    long-diameter graphs (road networks, chains).  This keeps one
+    materialized ``base`` plus at most ``fold_every`` pending level
+    DataFrames (which the caller has already checkpointed, so appending is
+    free); every ``fold_every`` appends the union folds into a fresh
+    checkpointed base.  Per-superstep plan size and scan count are then
+    O(fold_every) = O(1) regardless of depth, and fold work totals
+    O(L/fold_every) extra materializations.
+    """
+
+    def __init__(self, first: DataFrame, cols: list[str], fold_every: int = 8):
+        self._cols = cols
+        self._fold_every = fold_every
+        self._base = first.select(*cols)
+        self._pending: list[DataFrame] = []
+
+    def df(self) -> DataFrame:
+        """The current membership set (anti-join target)."""
+        out = self._base
+        for lv in self._pending:
+            out = out.unionByName(lv.select(*self._cols))
+        return out
+
+    def add(self, level: DataFrame) -> None:
+        """Append a newly-materialized frontier; fold when due."""
+        self._pending.append(level)
+        if len(self._pending) >= self._fold_every:
+            self._base = self.df().localCheckpoint(eager=True)
+            self._pending = []
+
+
 def latest_checkpoint(
     spark: SparkSession, checkpoint_dir: str, algo: str, run_id: str
 ) -> tuple[int, DataFrame] | None:

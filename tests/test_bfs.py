@@ -41,3 +41,15 @@ def test_directed_and_max_depth(spark):
         for r in bfs_distances(spark, edge_df(spark, edges), [0], directed=True, max_depth=2).collect()
     }
     assert got == {(0, 0): 0, (0, 1): 1, (0, 2): 2}
+
+
+def test_long_diameter_path_graph(spark):
+    """P48 single-source BFS: 47 supersteps — exercises the incremental
+    visited set (plan depth must stay O(1) per level; the old re-union of
+    all levels was O(depth²) and would crawl here)."""
+    n = 48
+    got = {
+        (r.source, r.vertex): r.dist
+        for r in bfs_distances(spark, edge_df(spark, path_graph_edges(n)), [0]).collect()
+    }
+    assert got == {(0, v): v for v in range(n)}

@@ -79,3 +79,17 @@ def test_anti_join_for_unvisited_check(spark):
     q = a.join(b, "vertex", "left_anti")
     plan = _plan(q)
     assert "LeftAnti" in plan
+
+
+def test_no_driver_edge_materialization():
+    """Scale contract (r1 verdict #1/#3): no full-edge-table or full-vertex
+    driver collect in the betweenness/BFS paths — the CSR is built executor-
+    side from a parquet artifact and default sources stream batch-by-batch."""
+    import inspect
+
+    from parallel_betweenness_centrality_using_bsp_spark.operators import betweenness, bfs
+
+    for mod in (betweenness, bfs):
+        src = inspect.getsource(mod)
+        assert ".toPandas(" not in src
+        assert "vertices.collect()" not in src
