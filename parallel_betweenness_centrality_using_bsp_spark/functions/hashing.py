@@ -5,18 +5,15 @@ seed_i)`` and the signature is ``array_min`` over a higher-order
 ``transform`` — no Python in the loop, so signatures compute inside
 whole-stage codegen over arbitrarily wide data.
 
-SimHash needs per-token bit voting (64 accumulators per doc), which column
-expressions can't express sanely — it uses an Arrow-batched pandas UDF
-(the sanctioned slow path) with numpy bit tricks, ~1e5 docs/sec/core.
+SimHash is JVM-side too: explode tokens, one ``xxhash64`` per token, then
+64 codegen'd bit-vote sum-aggregations — the same aggregation shape as
+MinHash, no Python anywhere in the hot path.
 """
 
 from __future__ import annotations
 
-import numpy as np
-import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
-from pyspark.sql.functions import pandas_udf
 
 from parallel_betweenness_centrality_using_bsp_spark.functions.text import tokens
 
@@ -89,33 +86,42 @@ def jaccard(a: Column, b: Column) -> Column:
     return F.when(union == 0, F.lit(0.0)).otherwise(inter / union)
 
 
-def _simhash64_batch(token_arrays: pd.Series) -> pd.Series:
-    out = np.zeros(len(token_arrays), dtype=np.uint64)
-    masks = np.uint64(1) << np.arange(64, dtype=np.uint64)
-    for row_i, toks in enumerate(token_arrays):
-        if toks is None or len(toks) == 0:
-            continue
-        hs = np.empty(len(toks), dtype=np.uint64)
-        for ti, t in enumerate(toks):
-            h = 0xCBF29CE484222325
-            for ch in t.encode("utf-8"):
-                h = (h ^ ch) * 0x100000001B3 & 0xFFFFFFFFFFFFFFFF
-            hs[ti] = h
-        bits = (hs[:, None] & masks[None, :]) != 0  # (n_tokens, 64)
-        votes = bits.sum(axis=0) * 2 - len(toks)
-        out[row_i] = masks[votes > 0].sum(dtype=np.uint64)
-    return pd.Series(out.view(np.int64))
+def simhash_signatures_agg(df, id_col: str, token_col, seed: int = 42):
+    """(id, fp long): 64-bit SimHash (Charikar 2002) entirely JVM-side.
 
-
-def simhash64(token_col: Column) -> Column:
-    """64-bit SimHash over a token-array column (Charikar 2002).
-
-    Per token: a deterministic FNV-1a 64-bit hash votes +1/-1 per bit; the
-    sign of each accumulated bit forms the fingerprint.  Arrow-batched
-    pandas UDF (constructed lazily — the decorator form would need an
-    active SparkSession at import time).
+    Explode tokens → one ``xxhash64`` per token → 64 codegen'd bit-vote
+    sum-aggregations (+1/−1 per bit) → sign of each vote assembles the
+    fingerprint in two's complement (bit 63's term is Long.MIN_VALUE, so
+    the sum never overflows ANSI arithmetic).  Replaces the r1 per-character
+    Python FNV loop inside a pandas UDF — same ``minhash_signatures_agg``
+    shape: one map-side-combined shuffle on ``id`` with 64×8-byte partial
+    states, whole-stage codegen end to end, no Python in the hot path.
+    Token *multiplicity* votes (duplicates weigh), matching classic SimHash.
     """
-    return pandas_udf(_simhash64_batch, "long")(token_col)
+    ex = df.select(F.col(id_col).alias("id"), F.explode(token_col).alias("_tok")).select(
+        "id", F.xxhash64("_tok", F.lit(seed)).alias("_h")
+    )
+    votes = [
+        F.sum(
+            F.when(
+                F.shiftrightunsigned(F.col("_h"), i).bitwiseAND(F.lit(1)) == 1,
+                F.lit(1),
+            ).otherwise(F.lit(-1))
+        ).alias(f"_v{i}")
+        for i in range(64)
+    ]
+    agg = ex.groupBy("id").agg(*votes)
+    fp = None
+    for i in range(64):
+        term = (
+            F.when(
+                F.col(f"_v{i}") > 0,
+                F.lit(-(2**63) if i == 63 else (1 << i)).cast("long"),
+            )
+            .otherwise(F.lit(0).cast("long"))
+        )
+        fp = term if fp is None else fp + term
+    return agg.select("id", fp.alias("fp"))
 
 
 def hamming64(a: Column, b: Column) -> Column:

@@ -10,9 +10,10 @@ Five families, all shuffle-disciplined:
                      exact-Jaccard verification.  The candidate self-join
                      happens per (band, band_hash) bucket, so work scales
                      with bucket sizes, never n².
-* ``simhash``      — 64-bit fingerprint (Arrow UDF) → 16-bit chunk buckets
-                     (within hamming≤3, two fingerprints share ≥1 of 4
-                     chunks) → bit_count verification, all JVM-side.
+* ``simhash``      — 64-bit fingerprint (codegen'd bit-vote aggregation)
+                     → 16-bit chunk buckets (within hamming≤3, two
+                     fingerprints share ≥1 of 4 chunks) → bit_count
+                     verification, all JVM-side.
 * ``n-gram Jaccard`` — exact verify pass reusable standalone on any
                      candidate pair set.
 * ``embedding near-dup`` — random-hyperplane LSH over embedding columns →
@@ -33,8 +34,8 @@ from parallel_betweenness_centrality_using_bsp_spark.functions.hashing import (
     hamming64,
     jaccard,
     minhash_signatures_agg,
-    simhash64,
     simhash_band,
+    simhash_signatures_agg,
     word_shingles,
 )
 from parallel_betweenness_centrality_using_bsp_spark.functions.text import fingerprint, tokens
@@ -153,10 +154,14 @@ def simhash_dedup_pairs(
     """SimHash near-dup pairs: (a, b, hamming ≤ max_hamming).
 
     Bucketing by the four 16-bit chunks guarantees recall for
-    hamming ≤ 3 (pigeonhole); verification is JVM-side bit_count.
+    hamming ≤ 3 (pigeonhole); verification is JVM-side bit_count.  The
+    fingerprint itself is the codegen'd bit-vote aggregation — the whole
+    pipeline is JVM-side.
     """
-    fps = df.select(
-        F.col(id_col).alias("id"), simhash64(tokens(F.col(text_col))).alias("fp")
+    fps = simhash_signatures_agg(
+        df.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("_toks")),
+        "id",
+        "_toks",
     )
     chunks = fps.select(
         "id", "fp",
