@@ -14,14 +14,16 @@ Coverage map (SURVEY.md §2):
 * Text-analysis + dedup pipeline — token counting, BPE-ish counting,
   language id, quality scoring, sha256 fingerprint exact-dup groups,
   exact n-gram Jaccard: ``doc_*`` / ``exact_dup_groups`` /
-  ``jaccard_pairs_exact`` (full DuckDB oracles); MinHash-LSH and
-  SimHash near-dup (``minhash_neardup``, ``simhash_neardup``) are
-  rows-only because their hash families (xxhash64 in whole-stage
-  codegen) have no DuckDB twin — their *verification* legs are the
-  oracle-checked Jaccard/hamming queries.
+  ``jaccard_pairs_exact`` (full DuckDB oracles).  MinHash-LSH and
+  SimHash near-dup (``minhash_neardup``, ``simhash_neardup``) run the
+  engine-portable md5 hash families, so the ENTIRE LSH pipelines
+  (signatures → band buckets → candidate join → verify) are under the
+  value-hash gate; the faster xxhash64 families are the bulk defaults
+  (identical algorithm, different hash constants — bench.py).
 * Similarity search — exact cosine top-k (oracle via
-  ``list_cosine_similarity``), LSH-bucketed ANN (rows-only: the probe
-  set depends on the seeded hyperplane family).
+  ``list_cosine_similarity``); LSH-bucketed ANN oracle-gated via the
+  integer-quantized hyperplane family (exact int64 bucket codes in
+  both engines, so the probe set and result match bit-for-bit).
 * Graph kernels (Table A) over a deterministic edge table derived from
   ``orders`` (SQL-expressible in both engines): degrees, triangle
   count, connected components (recursive-CTE oracle; both hash-min and
@@ -403,21 +405,31 @@ def training_set_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH candidates + exact-Jaccard verify (rows-only: xxhash64
-    hash family has no DuckDB twin; Jaccard leg oracle-checked above)."""
+    """Full MinHash-LSH pipeline — ORACLE-GATED: the md5 hash family
+    (signature i = min of md5(i||':'||shingle) hex strings) is reproduced
+    exactly by the DuckDB twin, so signatures → band keys → bucket self-join
+    → exact-Jaccard verify all sit under the value-hash gate.  The faster
+    xxhash64 family stays the bulk default (bench.py) — identical algorithm,
+    different hash constants."""
     from parallel_betweenness_centrality_using_bsp_spark.operators.dedup import minhash_dedup_pairs
 
     d = _t(spark, sf_dir, "documents")
-    return minhash_dedup_pairs(d, "text", "doc_id", threshold=0.3).orderBy("a", "b")
+    return minhash_dedup_pairs(
+        d, "text", "doc_id", threshold=0.3, hash_family="md5"
+    ).orderBy("a", "b")
 
 
 def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (rows-only: FNV/bit-vote fingerprint is a
-    pandas-UDF kernel with no SQL twin)."""
+    """Full SimHash pipeline — ORACLE-GATED: the 60-bit md5 family (token
+    hash = first 15 md5 hex chars) lets the DuckDB twin reproduce the
+    bit-vote fingerprints, chunk buckets and hamming verification exactly.
+    The xxhash64 64-bit family stays the bulk default."""
     from parallel_betweenness_centrality_using_bsp_spark.operators.dedup import simhash_dedup_pairs
 
     d = _t(spark, sf_dir, "documents")
-    return simhash_dedup_pairs(d, "text", "doc_id", max_hamming=16).orderBy("a", "b")
+    return simhash_dedup_pairs(
+        d, "text", "doc_id", max_hamming=8, hash_family="md5"
+    ).orderBy("a", "b")
 
 
 # ---------------------------------------------------------------------------
@@ -455,15 +467,20 @@ def embedding_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate top-10 (rows-only: probe set depends on the
-    seeded hyperplane family; recall vs the exact twin is tested in
-    tests/test_similarity.py)."""
-    from parallel_betweenness_centrality_using_bsp_spark.operators.similarity import ann_topk as _ann
+    """LSH-bucketed approximate top-10 — ORACLE-GATED via the
+    integer-quantized hyperplane family: floor(v·2^10) embeddings dotted
+    with floor(N(0,1)·2^9) planes are exact in int64/float64, so Spark and
+    the DuckDB twin compute identical bucket codes (no float-association
+    sign flips) and hence the identical probe set and result.  The float
+    family (``ann_topk``) remains for bulk use; recall tests cover both."""
+    from parallel_betweenness_centrality_using_bsp_spark.operators.similarity import (
+        ann_topk_quantized,
+    )
 
     e = _t(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") == 0).select("embedding").first()["embedding"]
-    return _ann(
-        spark, e.where(F.col("vec_id") != 0), list(q), k=10, bits=8, probe_hamming=2
+    return ann_topk_quantized(
+        spark, e.where(F.col("vec_id") != 0), list(q), k=10, bits=8, probe_hamming=1
     )
 
 
@@ -780,6 +797,102 @@ FROM vertices vt LEFT JOIN bcsum USING (vertex) ORDER BY vertex
     return "".join(parts)
 
 
+def _minhash_md5_sql(k: int = 32, bands: int = 16, threshold: float = 0.3) -> str:
+    """Full MinHash-LSH twin: portable md5 signatures (min of hex strings),
+    '|'-joined band keys, bucket self-join, exact-Jaccard verify — mirrors
+    operators/dedup.py::minhash_dedup_pairs(hash_family='md5') exactly."""
+    rows = k // bands
+    return f"""
+        WITH toks AS (SELECT doc_id, {_TOKENS} AS t, text FROM documents),
+        sh AS (SELECT doc_id, {_SHINGLES} AS sh FROM toks),
+        ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+        sig AS (SELECT doc_id, g.i AS i, min(md5(g.i::VARCHAR || ':' || s)) AS mh
+                FROM ex CROSS JOIN generate_series(0, {k - 1}) AS g(i)
+                GROUP BY doc_id, g.i),
+        bnd AS (SELECT doc_id, i // {rows} AS band, string_agg(mh, '|' ORDER BY i) AS bk
+                FROM sig GROUP BY doc_id, i // {rows}),
+        cand AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+                 FROM bnd a JOIN bnd b
+                   ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id),
+        verified AS (
+            SELECT c.a, c.b,
+                   round(CASE WHEN len(list_distinct(sa.sh || sb.sh)) = 0 THEN 0.0
+                         ELSE len(list_intersect(sa.sh, sb.sh))::DOUBLE
+                              / len(list_distinct(sa.sh || sb.sh)) END, 6) AS jaccard
+            FROM cand c JOIN sh sa ON sa.doc_id = c.a JOIN sh sb ON sb.doc_id = c.b)
+        SELECT a, b, jaccard FROM verified WHERE jaccard >= {threshold} ORDER BY a, b
+    """
+
+
+def _simhash_md5_sql(max_hamming: int = 8) -> str:
+    """Full SimHash twin over the 60-bit md5 family: per-token hash = first
+    15 md5 hex chars parsed as BIGINT, 60 bit-vote sums, sign → fingerprint,
+    4×15-bit chunk buckets, bit_count(xor) verification — mirrors
+    operators/dedup.py::simhash_dedup_pairs(hash_family='md5') exactly."""
+    nbits = 60
+    tv = "('0x' || substr(md5(tok), 1, 15))::BIGINT"
+    vote_cols = ",\n                ".join(
+        f"sum(CASE WHEN ((tv >> {i}) & 1) = 1 THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(nbits)
+    )
+    fp_terms = " + ".join(
+        f"(CASE WHEN v{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(nbits)
+    )
+    chunk_selects = " UNION ALL ".join(
+        f"SELECT doc_id, fp, {b} AS band, (fp >> {15 * b}) & 32767 AS key FROM fps"
+        for b in range(4)
+    )
+    return f"""
+        WITH ex AS (
+            SELECT doc_id, unnest(regexp_extract_all(lower(trim(text)), '\\S+')) AS tok
+            FROM documents),
+        hashed AS (SELECT doc_id, {tv} AS tv FROM ex),
+        vt AS (SELECT doc_id,
+                {vote_cols}
+               FROM hashed GROUP BY doc_id),
+        fps AS (SELECT doc_id, ({fp_terms})::BIGINT AS fp FROM vt),
+        chunks AS ({chunk_selects}),
+        cand AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+                 FROM chunks a JOIN chunks b
+                   ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+        ham AS (SELECT c.a, c.b, bit_count(xor(fa.fp, fb.fp))::INT AS hamming
+                FROM cand c JOIN fps fa ON fa.doc_id = c.a JOIN fps fb ON fb.doc_id = c.b)
+        SELECT a, b, hamming FROM ham WHERE hamming <= {max_hamming} ORDER BY a, b
+    """
+
+
+def _ann_quantized_sql(k: int = 10, bits: int = 8, probe_hamming: int = 1, seed: int = 42) -> str:
+    """ANN twin: identical integer-quantized bucket codes (floor(v·1024) ·
+    floor(N(0,1)·512) dot products are exact in float64), probe set =
+    buckets within probe_hamming of the query's bucket, exact cosine top-k
+    inside — mirrors operators/similarity.py::ann_topk_quantized."""
+    from parallel_betweenness_centrality_using_bsp_spark.operators.similarity import (
+        quantized_hyperplanes,
+    )
+
+    planes = quantized_hyperplanes(64, bits, seed)
+    terms = []
+    for j in range(bits):
+        plane = "[" + ", ".join(str(int(v)) for v in planes[:, j]) + "]::DOUBLE[]"
+        terms.append(
+            f"(CASE WHEN list_dot_product(qv, {plane}) > 0 THEN {1 << j} ELSE 0 END)"
+        )
+    bucket = " + ".join(terms)
+    return f"""
+        WITH base AS (
+            SELECT vec_id, embedding,
+                   list_transform(embedding::DOUBLE[], x -> floor(x * 1024)) AS qv
+            FROM embeddings),
+        bucketed AS (SELECT vec_id, embedding, ({bucket})::BIGINT AS bucket FROM base),
+        q AS (SELECT bucket AS qb, embedding AS qe FROM bucketed WHERE vec_id = 0)
+        SELECT e.vec_id,
+               round(list_cosine_similarity(e.embedding::DOUBLE[], q.qe::DOUBLE[]), 6) AS cos
+        FROM bucketed e CROSS JOIN q
+        WHERE e.vec_id != 0 AND bit_count(xor(e.bucket, q.qb)) <= {probe_hamming}
+        ORDER BY cos DESC, e.vec_id LIMIT {k}
+    """
+
+
 def _labelprop3_sql() -> str:
     """3 unrolled synchronous LPA rounds matching operators/labelprop.py."""
     parts = [
@@ -1066,6 +1179,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT count(DISTINCT sha256(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))) AS n_kept
             FROM documents
         """,
-        # rows-only (no ANSI-SQL twin — see docstrings):
-        #   minhash_neardup, simhash_neardup, ann_topk, multimodal_pipeline
+        "minhash_neardup": _minhash_md5_sql(),
+        "simhash_neardup": _simhash_md5_sql(),
+        "ann_topk": _ann_quantized_sql(),
+        # rows-only (no ANSI-SQL twin — see docstring):
+        #   multimodal_pipeline (binary-payload pipeline)
     }

@@ -69,6 +69,85 @@ def minhash_signatures_agg(
     )
 
 
+def minhash_signatures_md5(df, id_col: str, shingle_col: str, k: int = 32):
+    """(id, sig array<string>) — the PORTABLE MinHash family: value i is the
+    lexicographic MIN of ``md5(i || ':' || shingle)`` hex strings.
+
+    md5 hex + bytewise string-min are identical in every engine, so a DuckDB
+    oracle reproduces these signatures digit-for-digit — this family exists
+    to put the *whole LSH pipeline* (not just its verify leg) under the
+    value-hash gate.  Costs ~2-3× the ``xxhash64`` family
+    (``minhash_signatures_agg``), which stays the bulk-dedup default.
+    Same shuffle shape: explode + k codegen'd min-aggregations.
+    """
+    ex = df.select(F.col(id_col).alias("id"), F.explode(shingle_col).alias("_sh"))
+    aggs = [
+        F.min(F.md5(F.concat_ws(":", F.lit(str(i)), F.col("_sh")))).alias(f"_h{i}")
+        for i in range(k)
+    ]
+    return (
+        ex.groupBy("id")
+        .agg(*aggs)
+        .select("id", F.array(*[f"_h{i}" for i in range(k)]).alias("sig"))
+    )
+
+
+def band_keys_join(signature: Column, bands: int, rows_per_band: int) -> Column:
+    """array<string> LSH band keys for a STRING signature array: each band is
+    the '|'-join of its slice (md5 hex never contains '|', so unambiguous)."""
+    return F.array(
+        *[
+            F.array_join(F.slice(signature, b * rows_per_band + 1, rows_per_band), "|")
+            for b in range(bands)
+        ]
+    )
+
+
+SIMHASH_MD5_BITS = 60  # 15 hex chars → a non-negative BIGINT in any engine
+
+
+def md5_token_value(col: Column) -> Column:
+    """First 60 bits of md5 as a non-negative long — computed identically in
+    Spark (``conv(substring(md5, 1, 15), 16, 10)``) and DuckDB
+    (``('0x' || substr(md5, 1, 15))::BIGINT``)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def simhash_signatures_md5(df, id_col: str, token_col):
+    """(id, fp long): 60-bit md5-family SimHash — the portable twin of
+    ``simhash_signatures_agg`` (same bit-vote aggregation, md5-derived token
+    hashes instead of xxhash64) so a DuckDB oracle reproduces fingerprints
+    exactly.  Docs whose token array is empty produce no row (explode drops
+    them) — mirror the oracle's token extraction accordingly."""
+    ex = df.select(F.col(id_col).alias("id"), F.explode(token_col).alias("_tok")).select(
+        "id", md5_token_value(F.col("_tok")).alias("_h")
+    )
+    votes = [
+        F.sum(
+            F.when(
+                F.shiftrightunsigned(F.col("_h"), i).bitwiseAND(F.lit(1)) == 1,
+                F.lit(1),
+            ).otherwise(F.lit(-1))
+        ).alias(f"_v{i}")
+        for i in range(SIMHASH_MD5_BITS)
+    ]
+    agg = ex.groupBy("id").agg(*votes)
+    fp = None
+    for i in range(SIMHASH_MD5_BITS):
+        term = (
+            F.when(F.col(f"_v{i}") > 0, F.lit(1 << i).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+        )
+        fp = term if fp is None else fp + term
+    return agg.select("id", fp.alias("fp"))
+
+
+def simhash_band15(col: Column, band: int) -> Column:
+    """15-bit chunk #band (0..3) of a 60-bit md5-family fingerprint — within
+    hamming ≤ 3 two fingerprints share ≥1 of the 4 chunks (pigeonhole)."""
+    return F.shiftrightunsigned(col, band * 15).bitwiseAND(F.lit(0x7FFF))
+
+
 def band_keys(signature: Column, bands: int, rows_per_band: int, seed: int = 7) -> Column:
     """array<long> of LSH band hashes (hash of each signature slice)."""
     return F.array(

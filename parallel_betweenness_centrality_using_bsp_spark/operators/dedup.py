@@ -31,11 +31,15 @@ from pyspark.sql import functions as F
 
 from parallel_betweenness_centrality_using_bsp_spark.functions.hashing import (
     band_keys,
+    band_keys_join,
     hamming64,
     jaccard,
     minhash_signatures_agg,
+    minhash_signatures_md5,
     simhash_band,
+    simhash_band15,
     simhash_signatures_agg,
+    simhash_signatures_md5,
     word_shingles,
 )
 from parallel_betweenness_centrality_using_bsp_spark.functions.text import fingerprint, tokens
@@ -73,17 +77,30 @@ def minhash_candidate_pairs(
     num_hashes: int = 32,
     bands: int = 16,
     seed: int = 42,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
-    """(a, b) candidate pairs sharing ≥1 LSH band bucket, a < b, distinct."""
+    """(a, b) candidate pairs sharing ≥1 LSH band bucket, a < b, distinct.
+
+    ``hash_family="xxhash64"`` (default) is the fast bulk path;
+    ``"md5"`` computes engine-portable signatures (min of md5 hex strings)
+    that a DuckDB oracle reproduces exactly — the family the driver's
+    value-hash gate runs against.
+    """
     rows = num_hashes // bands
     shingled = df.select(
         F.col(id_col).alias("id"),
         word_shingles(F.col(text_col), shingle_n).alias("sh"),
     )
+    if hash_family == "md5":
+        keyed = minhash_signatures_md5(shingled, "id", "sh", num_hashes).withColumn(
+            "bk", band_keys_join(F.col("sig"), bands, rows)
+        )
+    else:
+        keyed = minhash_signatures_agg(shingled, "id", "sh", num_hashes, seed).withColumn(
+            "bk", band_keys(F.col("sig"), bands, rows)
+        )
     sig = (
-        minhash_signatures_agg(shingled, "id", "sh", num_hashes, seed)
-        .withColumn("bk", band_keys(F.col("sig"), bands, rows))
-        .select("id", F.posexplode("bk").alias("band", "bh"))
+        keyed.select("id", F.posexplode("bk").alias("band", "bh"))
         # Materialize ONCE: the self-join below would otherwise re-run the
         # whole shingle+signature pipeline for each side.
         .localCheckpoint(eager=True)
@@ -133,11 +150,13 @@ def minhash_dedup_pairs(
     bands: int = 16,
     threshold: float = 0.8,
     seed: int = 42,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """MinHash-LSH candidates, exact-Jaccard verified: (a, b, jaccard)."""
     cand = minhash_candidate_pairs(
         df, text_col, id_col,
         shingle_n=shingle_n, num_hashes=num_hashes, bands=bands, seed=seed,
+        hash_family=hash_family,
     )
     return ngram_jaccard_pairs(
         df, cand, text_col, id_col, shingle_n=shingle_n, threshold=threshold
@@ -150,28 +169,42 @@ def simhash_dedup_pairs(
     id_col: str = "doc_id",
     *,
     max_hamming: int = 3,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """SimHash near-dup pairs: (a, b, hamming ≤ max_hamming).
 
-    Bucketing by the four 16-bit chunks guarantees recall for
-    hamming ≤ 3 (pigeonhole); verification is JVM-side bit_count.  The
-    fingerprint itself is the codegen'd bit-vote aggregation — the whole
-    pipeline is JVM-side.
+    Bucketing by four equal chunks guarantees recall for hamming ≤ 3
+    (pigeonhole); verification is JVM-side bit_count.  The fingerprint is
+    the codegen'd bit-vote aggregation — the whole pipeline is JVM-side.
+    ``hash_family="md5"`` swaps in the 60-bit engine-portable family whose
+    DuckDB oracle reproduces fingerprints exactly (token source is then
+    regexp-extracted so zero-token docs drop identically in both engines).
     """
-    fps = simhash_signatures_agg(
-        df.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("_toks")),
-        "id",
-        "_toks",
-    )
+    if hash_family == "md5":
+        toks = F.regexp_extract_all(F.lower(F.trim(F.col(text_col))), F.lit(r"\S+"), 0)
+        fps = simhash_signatures_md5(
+            df.select(F.col(id_col).alias("id"), toks.alias("_toks")), "id", "_toks"
+        )
+        band_fn = simhash_band15
+    else:
+        fps = simhash_signatures_agg(
+            df.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("_toks")),
+            "id",
+            "_toks",
+        )
+        band_fn = simhash_band
     chunks = fps.select(
         "id", "fp",
         F.explode(
             F.array(*[
-                F.struct(F.lit(b).alias("band"), simhash_band(F.col("fp"), b).alias("key"))
+                F.struct(F.lit(b).alias("band"), band_fn(F.col("fp"), b).alias("key"))
                 for b in range(4)
             ])
         ).alias("c"),
     ).select("id", "fp", F.col("c.band").alias("band"), F.col("c.key").alias("key"))
+    # Materialize ONCE so the self-join doesn't recompute the 60-64
+    # aggregation pipeline for each side.
+    chunks = chunks.localCheckpoint(eager=True)
     l, r = chunks.alias("l"), chunks.alias("r")
     return (
         l.join(

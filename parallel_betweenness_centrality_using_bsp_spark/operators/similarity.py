@@ -102,6 +102,84 @@ def ann_topk(
     return brute_force_topk(cand, query_vec, k, vec_col, id_col)
 
 
+# ---------------------------------------------------------------------------
+# Integer-quantized hyperplane LSH — the engine-portable (oracle-gateable)
+# variant: every arithmetic step is exact in int64/float64, so Spark, plain
+# Python and a DuckDB SQL twin compute identical bucket codes bit-for-bit
+# (no float-association sign flips at the hyperplane boundary).
+# ---------------------------------------------------------------------------
+
+_QUANT = 1024  # embedding quantization: floor(x * 2^10) — exact scaling
+_PLANE_SCALE = 512  # hyperplane coefficients: floor(normal * 2^9)
+
+
+def quantized_hyperplanes(dim: int, bits: int, seed: int = 42) -> np.ndarray:
+    """(dim, bits) int64 hyperplane matrix — seeded, shared verbatim by the
+    Spark plan, the driver-side query-bucket computation and the SQL twin."""
+    rng = np.random.default_rng(seed)
+    return np.floor(rng.standard_normal((dim, bits)) * _PLANE_SCALE).astype(np.int64)
+
+
+def hyperplane_buckets_quantized(
+    df: DataFrame, planes: np.ndarray, vec_col: str = "embedding"
+) -> DataFrame:
+    """Input + ``bucket`` long column, computed with pure JVM higher-order
+    functions (zip_with product + aggregate sum over int64 — exact, no UDF):
+    bit j of the bucket is the sign of <floor(v*1024), plane_j>."""
+    qv = F.transform(
+        F.col(vec_col).cast("array<double>"),
+        lambda x: F.floor(x * F.lit(float(_QUANT))).cast("long"),
+    )
+    out = df.withColumn("_qv", qv)
+    bucket = F.lit(0).cast("long")
+    for j in range(planes.shape[1]):
+        plane = F.array(*[F.lit(int(v)).cast("long") for v in planes[:, j]])
+        dot = F.aggregate(
+            F.zip_with(F.col("_qv"), plane, lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(dot > 0, F.lit(1 << j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return out.withColumn("bucket", bucket).drop("_qv")
+
+
+def bucket_of_quantized(query_vec: list[float], planes: np.ndarray) -> int:
+    """Driver-side twin of ``hyperplane_buckets_quantized`` for one vector."""
+    qv = np.floor(np.asarray(query_vec, dtype=np.float64) * _QUANT).astype(np.int64)
+    signs = (qv @ planes) > 0
+    return int(signs @ (1 << np.arange(planes.shape[1])))
+
+
+def ann_topk_quantized(
+    spark: SparkSession,
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    *,
+    bits: int = 8,
+    probe_hamming: int = 1,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """``ann_topk`` over the quantized family — identical probe semantics
+    (scan buckets within ``probe_hamming`` of the query's bucket, exact
+    cosine inside), but every bucket code is engine-portable, so the whole
+    ANN query sits under the DuckDB value-hash gate."""
+    planes = quantized_hyperplanes(len(query_vec), bits, seed)
+    bucketed = hyperplane_buckets_quantized(df, planes, vec_col)
+    qb = bucket_of_quantized(query_vec, planes)
+    probes = [qb]
+    if probe_hamming >= 1:
+        probes += [qb ^ (1 << i) for i in range(bits)]
+    if probe_hamming >= 2:
+        probes += [qb ^ (1 << i) ^ (1 << j) for i in range(bits) for j in range(i + 1, bits)]
+    cand = bucketed.where(F.col("bucket").isin(probes))
+    return brute_force_topk(cand, query_vec, k, vec_col, id_col)
+
+
 def embedding_neardup_pairs(
     spark: SparkSession,
     df: DataFrame,

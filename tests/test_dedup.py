@@ -63,3 +63,25 @@ def test_dedup_keep_ids_transitive_cluster(spark):
     pairs = spark.createDataFrame([(10, 11), (11, 12)], "a long, b long")
     kept = sorted(r["doc_id"] for r in dedup_keep_ids(spark, df, pairs).collect())
     assert kept == [10, 13]
+
+
+def test_minhash_md5_family_matches_xxhash_semantics(spark):
+    """The portable md5 family runs the identical LSH algorithm — identical
+    docs always pair (all bands collide), verified jaccard identical."""
+    near = BASE.replace("lazy", "sleepy")
+    df = _docs(spark, [(0, BASE), (1, near), (2, BASE)])
+    pairs = {(r["a"], r["b"]): r["jaccard"]
+             for r in minhash_dedup_pairs(df, threshold=0.5, hash_family="md5").collect()}
+    assert pairs.get((0, 2)) == 1.0
+    xx = {(r["a"], r["b"]): r["jaccard"]
+          for r in minhash_dedup_pairs(df, threshold=0.5).collect()}
+    assert pairs.get((0, 2)) == xx.get((0, 2))  # verify leg identical across families
+
+
+def test_simhash_md5_family(spark):
+    df = _docs(spark, [(0, BASE), (1, BASE + " extra"), (2, BASE),
+                       (3, "argmax softmax gradient tensor kernel epoch")])
+    pairs = {(r["a"], r["b"]): r["hamming"]
+             for r in simhash_dedup_pairs(df, max_hamming=3, hash_family="md5").collect()}
+    assert pairs.get((0, 2)) == 0
+    assert all(3 not in (a, b) for (a, b) in pairs)

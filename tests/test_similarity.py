@@ -50,3 +50,24 @@ def test_embedding_neardup(spark):
     pairs = {(r["a"], r["b"]): r["cos"] for r in
              embedding_neardup_pairs(spark, df, dim=16, threshold=0.99).collect()}
     assert (3, 555) in pairs and pairs[(3, 555)] >= 0.999
+
+
+def test_ann_quantized_matches_python_buckets_and_recalls(spark):
+    from parallel_betweenness_centrality_using_bsp_spark.operators.similarity import (
+        ann_topk_quantized,
+        bucket_of_quantized,
+        hyperplane_buckets_quantized,
+        quantized_hyperplanes,
+    )
+
+    df, vecs = _vec_df(spark, n=200, dim=16)
+    planes = quantized_hyperplanes(16, 8, seed=42)
+    # Spark bucket codes == driver-side integer arithmetic, vector by vector
+    got = {r["vec_id"]: r["bucket"]
+           for r in hyperplane_buckets_quantized(df, planes).collect()}
+    for i in range(0, 200, 17):
+        assert got[i] == bucket_of_quantized(vecs[i].tolist(), planes)
+    # self is always recalled (its bucket is probed at hamming 0)
+    top = [r["vec_id"] for r in
+           ann_topk_quantized(spark, df, vecs[7].tolist(), 5, bits=8, probe_hamming=1).collect()]
+    assert 7 in top
