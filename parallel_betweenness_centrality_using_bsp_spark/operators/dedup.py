@@ -26,8 +26,42 @@ clusters are rarely just pairs) and keeping the minimum id per cluster.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+log = logging.getLogger(__name__)
+
+
+def cap_buckets(
+    df: DataFrame, key_cols: list[str], max_bucket_size: int, what: str
+) -> DataFrame:
+    """Drop LSH buckets larger than ``max_bucket_size`` — and LOG what was
+    dropped (the survey's skew rule: no silent caps).
+
+    A degenerate bucket (boilerplate-heavy corpus, constant shingle) makes
+    the bucket self-join quadratic: one 10^6-row bucket is 10^12 candidate
+    pairs.  Capping bounds the worst case at max_bucket_size² per bucket.
+    Rows in dropped buckets lose those candidate pairs — run EXACT dedup
+    first (identical docs share *all* bands, so a giant identical-doc group
+    is exactly the degenerate case this guards against) and treat the logged
+    buckets as their own dedup cohort if recall there matters.
+    """
+    sizes = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("_n"))
+    over = sizes.where(F.col("_n") > max_bucket_size).persist()
+    stats = over.agg(
+        F.count(F.lit(1)).alias("buckets"), F.coalesce(F.sum("_n"), F.lit(0)).alias("rows")
+    ).first()
+    if stats["buckets"]:
+        log.warning(
+            "%s: dropped %d oversized LSH bucket(s) totaling %d rows "
+            "(max_bucket_size=%d); candidate pairs within them are NOT emitted",
+            what, stats["buckets"], stats["rows"], max_bucket_size,
+        )
+    out = df.join(F.broadcast(over.select(*key_cols)), key_cols, "left_anti")
+    over.unpersist()
+    return out
 
 from parallel_betweenness_centrality_using_bsp_spark.functions.hashing import (
     band_keys,
@@ -78,13 +112,15 @@ def minhash_candidate_pairs(
     bands: int = 16,
     seed: int = 42,
     hash_family: str = "xxhash64",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """(a, b) candidate pairs sharing ≥1 LSH band bucket, a < b, distinct.
 
     ``hash_family="xxhash64"`` (default) is the fast bulk path;
     ``"md5"`` computes engine-portable signatures (min of md5 hex strings)
     that a DuckDB oracle reproduces exactly — the family the driver's
-    value-hash gate runs against.
+    value-hash gate runs against.  ``max_bucket_size`` caps degenerate
+    buckets before the self-join (logged, see ``cap_buckets``).
     """
     rows = num_hashes // bands
     shingled = df.select(
@@ -105,6 +141,8 @@ def minhash_candidate_pairs(
         # whole shingle+signature pipeline for each side.
         .localCheckpoint(eager=True)
     )
+    if max_bucket_size is not None:
+        sig = cap_buckets(sig, ["band", "bh"], max_bucket_size, "minhash_candidate_pairs")
     left = sig.alias("l")
     right = sig.alias("r")
     return (
@@ -151,12 +189,13 @@ def minhash_dedup_pairs(
     threshold: float = 0.8,
     seed: int = 42,
     hash_family: str = "xxhash64",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """MinHash-LSH candidates, exact-Jaccard verified: (a, b, jaccard)."""
     cand = minhash_candidate_pairs(
         df, text_col, id_col,
         shingle_n=shingle_n, num_hashes=num_hashes, bands=bands, seed=seed,
-        hash_family=hash_family,
+        hash_family=hash_family, max_bucket_size=max_bucket_size,
     )
     return ngram_jaccard_pairs(
         df, cand, text_col, id_col, shingle_n=shingle_n, threshold=threshold
@@ -170,6 +209,7 @@ def simhash_dedup_pairs(
     *,
     max_hamming: int = 3,
     hash_family: str = "xxhash64",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs: (a, b, hamming ≤ max_hamming).
 
@@ -205,6 +245,8 @@ def simhash_dedup_pairs(
     # Materialize ONCE so the self-join doesn't recompute the 60-64
     # aggregation pipeline for each side.
     chunks = chunks.localCheckpoint(eager=True)
+    if max_bucket_size is not None:
+        chunks = cap_buckets(chunks, ["band", "key"], max_bucket_size, "simhash_dedup_pairs")
     l, r = chunks.alias("l"), chunks.alias("r")
     return (
         l.join(

@@ -93,12 +93,62 @@ def ann_topk(
     dim = len(query_vec)
     bucketed = hyperplane_buckets(spark, df, dim=dim, bits=bits, seed=seed, vec_col=vec_col)
     qb = bucket_of(query_vec, bits=bits, seed=seed)
+    cand = bucketed.where(F.col("bucket").isin(_probe_set(qb, bits, probe_hamming)))
+    return brute_force_topk(cand, query_vec, k, vec_col, id_col)
+
+
+def _probe_set(qb: int, bits: int, probe_hamming: int) -> list[int]:
+    """Buckets within ``probe_hamming`` bit flips of the query's bucket."""
     probes = [qb]
     if probe_hamming >= 1:
         probes += [qb ^ (1 << i) for i in range(bits)]
     if probe_hamming >= 2:
         probes += [qb ^ (1 << i) ^ (1 << j) for i in range(bits) for j in range(i + 1, bits)]
-    cand = bucketed.where(F.col("bucket").isin(probes))
+    return probes
+
+
+def build_ann_index(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    *,
+    dim: int,
+    bits: int = 12,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the hyperplane-bucket assignment ONCE as parquet
+    partitioned by ``bucket``.
+
+    ``ann_topk`` recomputes every vector's bucket code per query — fine for
+    one-off queries, wasteful for a query workload.  A real pipeline writes
+    this index once; each query then reads only its probe buckets via
+    partition pruning (~(1 + bits)/2^bits of the files at probe_hamming=1)
+    instead of scanning and hashing the full table.
+    """
+    b = hyperplane_buckets(spark, df, dim=dim, bits=bits, seed=seed, vec_col=vec_col)
+    b.write.mode("overwrite").partitionBy("bucket").parquet(path)
+
+
+def ann_topk_indexed(
+    spark: SparkSession,
+    index_path: str,
+    query_vec: list[float],
+    k: int = 10,
+    *,
+    bits: int = 12,
+    probe_hamming: int = 1,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k over a persisted index: the ``bucket IN (probes)``
+    filter hits the partition column, so the scan reads ONLY the probe
+    buckets' files (verify with .explain: PartitionFilters is non-empty).
+    ``bits``/``seed`` must match ``build_ann_index``."""
+    idx = spark.read.parquet(index_path)
+    qb = bucket_of(query_vec, bits=bits, seed=seed)
+    cand = idx.where(F.col("bucket").isin(_probe_set(qb, bits, probe_hamming)))
     return brute_force_topk(cand, query_vec, k, vec_col, id_col)
 
 
@@ -171,12 +221,7 @@ def ann_topk_quantized(
     planes = quantized_hyperplanes(len(query_vec), bits, seed)
     bucketed = hyperplane_buckets_quantized(df, planes, vec_col)
     qb = bucket_of_quantized(query_vec, planes)
-    probes = [qb]
-    if probe_hamming >= 1:
-        probes += [qb ^ (1 << i) for i in range(bits)]
-    if probe_hamming >= 2:
-        probes += [qb ^ (1 << i) ^ (1 << j) for i in range(bits) for j in range(i + 1, bits)]
-    cand = bucketed.where(F.col("bucket").isin(probes))
+    cand = bucketed.where(F.col("bucket").isin(_probe_set(qb, bits, probe_hamming)))
     return brute_force_topk(cand, query_vec, k, vec_col, id_col)
 
 
@@ -190,11 +235,24 @@ def embedding_neardup_pairs(
     seed: int = 42,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
-    """(a, b, cos) pairs with cosine ≥ threshold that share an LSH bucket."""
+    """(a, b, cos) pairs with cosine ≥ threshold that share an LSH bucket.
+
+    ``max_bucket_size`` caps degenerate buckets before the self-join (a
+    bucket holding every near-constant embedding is quadratic otherwise);
+    dropped volume is logged — see ``operators.dedup.cap_buckets``.
+    """
     b = hyperplane_buckets(spark, df, dim=dim, bits=bits, seed=seed, vec_col=vec_col).select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"), "bucket"
     )
+    if max_bucket_size is not None:
+        from parallel_betweenness_centrality_using_bsp_spark.operators.dedup import cap_buckets
+
+        b = cap_buckets(
+            b.localCheckpoint(eager=True), ["bucket"], max_bucket_size,
+            "embedding_neardup_pairs",
+        )
     l, r = b.alias("l"), b.alias("r")
     return (
         l.join(r, (F.col("l.bucket") == F.col("r.bucket")) & (F.col("l.id") < F.col("r.id")))

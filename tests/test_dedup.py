@@ -85,3 +85,22 @@ def test_simhash_md5_family(spark):
              for r in simhash_dedup_pairs(df, max_hamming=3, hash_family="md5").collect()}
     assert pairs.get((0, 2)) == 0
     assert all(3 not in (a, b) for (a, b) in pairs)
+
+
+def test_bucket_cap_bounds_degenerate_bucket(spark, caplog):
+    """100 identical docs put 100 rows in every band bucket — the cap must
+    drop those buckets in bounded time AND log the truncation; distinct
+    docs must still pair normally."""
+    import logging
+
+    rows = [(i, "same boilerplate text repeated everywhere always") for i in range(100)]
+    rows += [(200, BASE), (201, BASE)]
+    df = _docs(spark, rows)
+    with caplog.at_level(logging.WARNING,
+                         logger="parallel_betweenness_centrality_using_bsp_spark.operators.dedup"):
+        pairs = {(r["a"], r["b"]) for r in
+                 minhash_dedup_pairs(df, threshold=0.9, max_bucket_size=50).collect()}
+    assert (200, 201) in pairs            # the small cohort still pairs
+    assert all(a >= 200 for a, _ in pairs)  # degenerate bucket dropped entirely
+    assert any("dropped" in r.message and "minhash_candidate_pairs" in r.message
+               for r in caplog.records)

@@ -71,3 +71,25 @@ def test_ann_quantized_matches_python_buckets_and_recalls(spark):
     top = [r["vec_id"] for r in
            ann_topk_quantized(spark, df, vecs[7].tolist(), 5, bits=8, probe_hamming=1).collect()]
     assert 7 in top
+
+
+def test_persisted_ann_index_prunes_partitions(spark, tmp_path):
+    from parallel_betweenness_centrality_using_bsp_spark.operators.similarity import (
+        ann_topk_indexed,
+        build_ann_index,
+    )
+
+    df, vecs = _vec_df(spark, n=200, dim=16)
+    path = str(tmp_path / "ann_index")
+    build_ann_index(spark, df, path, dim=16, bits=6)
+    top = ann_topk_indexed(spark, path, vecs[7].tolist(), 5, bits=6, probe_hamming=1)
+    got = [r["vec_id"] for r in top.collect()]
+    assert 7 in got and len(got) == 5
+    # the probe filter must reach the parquet scan as a PARTITION filter
+    plan = top._sc._jvm.PythonSQLUtils.explainString(
+        top._jdf.queryExecution(), "formatted"
+    )
+    import re
+
+    m = re.search(r"PartitionFilters: \[(.*?)\]", plan)
+    assert m and "bucket" in m.group(1), plan[:2000]
