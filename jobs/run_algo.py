@@ -87,11 +87,27 @@ def main(argv: list[str] | None = None) -> None:
         start_step=0,
     )
 
-    if args.resume and args.checkpoint_dir:
+    if args.resume:
+        if not args.checkpoint_dir:
+            raise SystemExit(
+                "--resume requires --checkpoint-dir (the directory the "
+                "original run checkpointed into); without it the job would "
+                "silently recompute from scratch"
+            )
+        if args.algo == "components" and args.cc_algorithm == "starcontract":
+            raise SystemExit(
+                "--resume is not supported with --cc-algorithm starcontract "
+                "(edge-set state is not resumable); use hashmin"
+            )
         from parallel_betweenness_centrality_using_bsp_spark.plans.superstep import latest_checkpoint
 
         algo_name = {"pagerank": "pagerank", "components": "connected_components",
-                     "labelprop": "label_propagation"}[args.algo]
+                     "labelprop": "label_propagation"}.get(args.algo)
+        if algo_name is None:
+            raise SystemExit(
+                f"--resume is not supported for --algo {args.algo} "
+                "(only pagerank, components, labelprop checkpoint superstep state)"
+            )
         found = latest_checkpoint(spark, args.checkpoint_dir, algo_name, args.resume)
         if found is None:
             raise SystemExit(f"no checkpoint for run_id={args.resume}")

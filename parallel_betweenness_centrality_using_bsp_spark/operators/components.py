@@ -44,6 +44,16 @@ def connected_components(
     Components in MapReduce and Beyond", SoCC 2014), O(log n) rounds — right
     for long-chain graphs where diameter ≫ log n."""
     if algorithm == "starcontract":
+        if resume_state is not None or start_step:
+            # Star contraction's superstep state is the contracting EDGE SET,
+            # shape-incompatible with hash-min's (vertex, label) checkpoints;
+            # silently restarting from step 0 under a resumed run_id would
+            # look like a resume without being one.
+            raise ValueError(
+                "resume_state/start_step are not supported with "
+                "algorithm='starcontract' (its edge-set state is not "
+                "resumable from hash-min label checkpoints)"
+            )
         return _star_contraction(
             spark,
             edges,

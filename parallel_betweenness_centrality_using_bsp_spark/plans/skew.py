@@ -87,10 +87,15 @@ def salted_join(
 
     The small side is exploded ×n_salts (fine: it's small — a frontier, a
     dimension, a hub dictionary); the big side is salted from its full row
-    content.  Equivalent to a plain join for every ``how`` that keys off the
-    small side (inner / left_semi from big's perspective is NOT supported —
-    use the plain join for those).
+    content.  INNER ONLY: replication is equivalence-preserving just for
+    inner joins — under ``left`` each small-row replica whose salt bucket
+    matches no big rows would emit a spurious null-extended row, and under
+    ``left_semi`` a key spanning several salts would duplicate small rows.
+    For outer/semi semantics use the plain join (AQE skew splitting still
+    applies) or dedup explicitly.
     """
+    if how != "inner":
+        raise ValueError(f"salted_join supports how='inner' only, got {how!r}")
     salts = F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias("_salt")
     small_rep = small.select("*", salts).withColumn("_salt", F.col("_salt").cast("int"))
     big_salted = with_salt(big, n_salts)

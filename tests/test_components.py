@@ -42,3 +42,13 @@ def test_star_contraction_logarithmic_rounds_on_chain(spark):
     star = connected_components(spark, edge_df(spark, edges), algorithm="starcontract")
     assert df_to_dict(star.state, "vertex", "label") == oracle_components(edges)
     assert star.supersteps <= 10, f"star contraction took {star.supersteps} rounds on P60"
+
+
+def test_starcontract_rejects_resume(spark):
+    import pytest
+    from parallel_betweenness_centrality_using_bsp_spark.operators.components import connected_components
+    from parallel_betweenness_centrality_using_bsp_spark.sources.graphs import edge_df
+
+    e = edge_df(spark, [(0, 1)])
+    with pytest.raises(ValueError, match="starcontract"):
+        connected_components(spark, e, algorithm="starcontract", start_step=3)

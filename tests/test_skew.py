@@ -68,3 +68,13 @@ def test_split_by_hubs_partitions_rows(spark):
     hub_rows, tail_rows = split_by_hubs(g, hubs, "dst")
     assert hub_rows.count() + tail_rows.count() == g.count()
     assert hub_rows.join(tail_rows, ["src", "dst"], "inner").count() == 0
+
+
+def test_salted_join_rejects_non_inner(spark):
+    import pytest
+    from parallel_betweenness_centrality_using_bsp_spark.plans.skew import salted_join
+
+    small = spark.createDataFrame([(1, "a")], "k long, v string")
+    big = spark.createDataFrame([(1, 10)], "k long, x long")
+    with pytest.raises(ValueError, match="inner"):
+        salted_join(small, big, "k", how="left")
