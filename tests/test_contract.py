@@ -89,9 +89,6 @@ def test_every_oracle_key_has_a_query():
     assert set(oracles) <= set(qs)
     # rows-only queries are intentional, documented exceptions
     rows_only = set(qs) - set(oracles)
-    assert rows_only == {
-        "minhash_neardup",
-        "simhash_neardup",
-        "ann_topk",
-        "multimodal_pipeline",
-    }
+    # only the binary-payload multimodal pipeline has no relational twin;
+    # the LSH pipelines are fully oracle-gated via their portable families
+    assert rows_only == {"multimodal_pipeline"}
