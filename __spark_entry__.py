@@ -305,6 +305,31 @@ def orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cube aggregation: event stats at (day, event_type), per day, per
+    event_type, and grand total — all four grouping levels in one pass
+    (the grouping-sets counterpart of ``orders_rollup``)."""
+    e = _t(spark, sf_dir, "events")
+    day = F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd")
+    return (
+        e.select(day.alias("day"), "event_type", "value")
+        .cube("day", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            # 4dp: the grand-total row sums the whole table, where float
+            # association order between engines costs ~1e-9 absolute
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.coalesce("day", F.lit("ALL")).alias("day"),
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("day", "event_type")
+    )
+
+
 def lineitem_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k (TakeOrderedAndProject): 15 priciest shipped line items."""
     l = _t(spark, sf_dir, "lineitem")
@@ -935,6 +960,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_brand_stats": part_brand_stats,
         "lineitem_topk": lineitem_topk,
         "orders_rollup": orders_rollup,
+        "events_cube": events_cube,
         # text + dedup
         "doc_token_stats": doc_token_stats,
         "doc_lang_id": doc_lang_id,
@@ -1059,6 +1085,15 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
             ORDER BY priority, status
+        """,
+        "events_cube": """
+            SELECT coalesce(strftime(date_trunc('day', ts), '%Y-%m-%d'), 'ALL') AS day,
+                   coalesce(event_type, 'ALL') AS event_type,
+                   count(*) AS n_events,
+                   round(sum(value), 4) AS sum_value
+            FROM events
+            GROUP BY CUBE (strftime(date_trunc('day', ts), '%Y-%m-%d'), event_type)
+            ORDER BY day, event_type
         """,
         "lineitem_topk": """
             SELECT l_orderkey, l_linenumber,

@@ -28,7 +28,6 @@ is partitioned by superstep so partition pruning makes resume reads cheap.
 
 from __future__ import annotations
 
-import json
 import time
 import uuid
 from dataclasses import dataclass, field
@@ -149,24 +148,36 @@ def superstep_loop(
             part_rows = (
                 _partition_metrics(new_state) if metrics_per_partition else [(-1, n_rows)]
             )
-            lineage = json.dumps(
-                {
-                    "algo": algo,
-                    "run_id": run_id,
-                    "superstep": step,
-                    "state_path": _state_path(checkpoint_dir, algo, run_id, step),
-                    "parent_path": _state_path(checkpoint_dir, algo, run_id, step - 1)
-                    if step > start_step
-                    else None,
-                }
-            )
             mdf = spark.createDataFrame(
                 [
-                    (run_id, algo, step, pid, int(rows), float(wall_ms), lineage)
+                    (run_id, algo, step, pid, int(rows), float(wall_ms))
                     for pid, rows in part_rows
                 ],
                 "run_id string, algo string, superstep int, partition_id int, "
-                "rows long, wall_ms double, lineage string",
+                "rows long, wall_ms double",
+            )
+            # lineage payload serialized IN-PLAN (to_json over a struct), so
+            # the same expression works for arbitrarily many partition rows
+            # without driver-side string building
+            parent = (
+                F.lit(_state_path(checkpoint_dir, algo, run_id, step - 1))
+                if step > start_step
+                else F.lit(None).cast("string")
+            )
+            mdf = mdf.withColumn(
+                "lineage",
+                F.to_json(
+                    F.struct(
+                        F.col("algo"),
+                        F.col("run_id"),
+                        F.col("superstep"),
+                        F.col("partition_id"),
+                        F.lit(_state_path(checkpoint_dir, algo, run_id, step)).alias(
+                            "state_path"
+                        ),
+                        parent.alias("parent_path"),
+                    )
+                ),
             )
             mdf.write.mode("append").parquet(f"{checkpoint_dir}/_metrics")
 
