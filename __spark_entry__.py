@@ -266,6 +266,33 @@ def events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_followup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (theta) join: for each anchor event, count same-user events in
+    the following 10 minutes — equi key (user_id) + range predicate, the
+    interval-join shape.  Catalyst plans the equi part as a hash/SMJ join
+    and applies the range as a join filter, so work scales with per-user
+    density, never |events|²."""
+    e = _t(spark, sf_dir, "events")
+    a = e.where(F.col("event_id") < 500).select(
+        F.col("event_id").alias("a_id"),
+        F.col("user_id").alias("a_user"),
+        F.col("ts").alias("a_ts"),
+    )
+    b = e.select(F.col("user_id").alias("b_user"), F.col("ts").alias("b_ts"))
+    return (
+        a.join(
+            b,
+            (F.col("a_user") == F.col("b_user"))
+            & (F.col("b_ts") > F.col("a_ts"))
+            & (F.col("b_ts") <= F.col("a_ts") + F.expr("INTERVAL 10 MINUTES")),
+            "left",
+        )
+        .groupBy("a_id")
+        .agg(F.count("b_ts").alias("n_follow"))
+        .orderBy("a_id")
+    )
+
+
 def part_brand_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """String functions + aggregation: brand stats over filtered parts."""
     p = _t(spark, sf_dir, "part")
@@ -957,6 +984,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_set_ops": nation_set_ops,
         "events_daily": events_daily,
         "events_windowed": events_windowed,
+        "events_followup_counts": events_followup_counts,
         "part_brand_stats": part_brand_stats,
         "lineitem_topk": lineitem_topk,
         "orders_rollup": orders_rollup,
@@ -1068,6 +1096,14 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    round(sum(value), 6) AS sum_value
             FROM events GROUP BY 1, 2 ORDER BY win_start, event_type
+        """,
+        "events_followup_counts": """
+            SELECT a.event_id AS a_id, count(b.ts) AS n_follow
+            FROM events a LEFT JOIN events b
+              ON a.user_id = b.user_id
+             AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 10 MINUTE
+            WHERE a.event_id < 500
+            GROUP BY a.event_id ORDER BY a_id
         """,
         "part_brand_stats": """
             SELECT p_brand, count(*) AS n_parts,
