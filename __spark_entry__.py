@@ -266,6 +266,16 @@ def events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function sessionization (30-min gap) — the batch twin of the
+    stateful streaming operator (streaming/sessions.py); integer-microsecond
+    time arithmetic keeps all three forms (batch, stream, oracle) exact."""
+    from parallel_betweenness_centrality_using_bsp_spark.streaming.sessions import sessionize_batch
+
+    e = _t(spark, sf_dir, "events")
+    return sessionize_batch(e).orderBy("user_id", "session_seq")
+
+
 def events_followup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range (theta) join: for each anchor event, count same-user events in
     the following 10 minutes — equi key (user_id) + range predicate, the
@@ -985,6 +995,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_daily": events_daily,
         "events_windowed": events_windowed,
         "events_followup_counts": events_followup_counts,
+        "user_sessions": user_sessions,
         "part_brand_stats": part_brand_stats,
         "lineitem_topk": lineitem_topk,
         "orders_rollup": orders_rollup,
@@ -1018,6 +1029,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from parallel_betweenness_centrality_using_bsp_spark.streaming.sessions import (
+        sessionize_batch_sql,
+    )
+
     return {
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
@@ -1097,6 +1112,7 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 6) AS sum_value
             FROM events GROUP BY 1, 2 ORDER BY win_start, event_type
         """,
+        "user_sessions": sessionize_batch_sql() + " ORDER BY user_id, session_seq",
         "events_followup_counts": """
             SELECT a.event_id AS a_id, count(b.ts) AS n_follow
             FROM events a LEFT JOIN events b

@@ -62,3 +62,57 @@ def test_stream_available_now_matches_batch(spark, tmp_path):
     gw2 = {key(r): (r["n_events"], r["sum_value"]) for r in spark.read.parquet(sink).collect()}
     assert len(gw2) == len(ww)  # all original windows now closed and emitted
     assert all(gw2[k] == v for k, v in ww.items())
+
+
+def test_stream_sessionization_matches_batch(spark, tmp_path):
+    """The stateful applyInPandasWithState sessionizer must emit exactly the
+    CLOSED sessions of the window-function batch twin (the open tail session
+    per user stays in the state store)."""
+    import datetime
+
+    from parallel_betweenness_centrality_using_bsp_spark.streaming.events import EVENTS_SCHEMA
+    from parallel_betweenness_centrality_using_bsp_spark.streaming.sessions import (
+        sessionize_batch,
+        sessionize_stream,
+    )
+
+    rows = []
+    base = datetime.datetime(2024, 1, 1)
+    for u in range(3):
+        t = base + datetime.timedelta(minutes=u)
+        eid = u * 100
+        for _s in range(3):  # 3 sessions of 2 events, 2h apart
+            for _k in range(2):
+                rows.append((eid, t, u, "click", 1.0, "{}"))
+                eid += 1
+                t += datetime.timedelta(minutes=1)
+            t += datetime.timedelta(hours=2)
+    df = spark.createDataFrame(rows, EVENTS_SCHEMA)
+    src = str(tmp_path / "src")
+    df.coalesce(1).write.parquet(src)
+
+    want_all = {
+        (r.user_id, r.session_seq, r.n_events, r.start_us, r.end_us)
+        for r in sessionize_batch(spark.read.parquet(src)).collect()
+    }
+    last_seq = {}
+    for u, seq, *_ in want_all:
+        last_seq[u] = max(last_seq.get(u, 0), seq)
+    want_closed = {t for t in want_all if t[1] < last_seq[t[0]]}
+
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(src)
+    q = (
+        sessionize_stream(stream)
+        .writeStream.format("memory")
+        .queryName("sess_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.user_id, r.session_seq, r.n_events, r.start_us, r.end_us)
+        for r in spark.sql("SELECT * FROM sess_out").collect()
+    }
+    assert got == want_closed
