@@ -153,6 +153,95 @@ def ann_topk_indexed(
 
 
 # ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the coarse-quantizer scale path alongside the
+# hyperplane LSH.  Deterministic throughout: centroid init = lowest-id
+# vectors, Lloyd updates are exact averages, ties break to the lower
+# centroid index.
+# ---------------------------------------------------------------------------
+
+def _assign_clusters(df: DataFrame, centroids: np.ndarray, vec_col: str) -> DataFrame:
+    """Input + ``cluster`` int column: index of the nearest centroid by L2
+    (Arrow-batched matmul per batch; ties → lower index via argmin)."""
+    import pandas as pd  # noqa: F811 (worker-side import)
+
+    c = centroids.astype(np.float64)
+    c_sq = (c * c).sum(axis=1)
+
+    @pandas_udf("int")
+    def nearest(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy()).astype(np.float64)  # (batch, dim)
+        # argmin over squared L2 = argmin(|c|² − 2·v·c) — |v|² is constant per row
+        d = c_sq[None, :] - 2.0 * (m @ c.T)
+        return pd.Series(np.argmin(d, axis=1).astype(np.int32))
+
+    return df.withColumn("cluster", nearest(F.col(vec_col)))
+
+
+def train_ivf(
+    spark: SparkSession,
+    df: DataFrame,
+    *,
+    k: int = 16,
+    iters: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> np.ndarray:
+    """Deterministic Lloyd k-means coarse quantizer → (k, dim) centroids.
+
+    Assignment is distributed (Arrow matmul per batch); the update step
+    aggregates per-dimension sums with posexplode + groupBy — the only
+    driver-side materialization is the k×dim centroid matrix itself, which
+    is small BY DEFINITION (it gets broadcast every iteration anyway).
+    Empty clusters keep their previous centroid.
+    """
+    init = (
+        df.orderBy(id_col).limit(k).select(vec_col).toPandas()[vec_col].to_numpy()
+    )
+    centroids = np.stack(init).astype(np.float64)
+    for _ in range(iters):
+        assigned = _assign_clusters(df, centroids, vec_col)
+        stats = (
+            assigned.select("cluster", F.posexplode(F.col(vec_col)).alias("pos", "val"))
+            .groupBy("cluster", "pos")
+            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        new = centroids.copy()
+        sums = np.zeros_like(centroids)
+        counts = np.zeros(centroids.shape[0], dtype=np.int64)
+        for r in stats:
+            sums[r["cluster"], r["pos"]] += r["s"]
+            counts[r["cluster"]] = r["n"]
+        nonempty = counts > 0
+        new[nonempty] = sums[nonempty] / counts[nonempty, None]
+        centroids = new
+    return centroids
+
+
+def ivf_topk(
+    spark: SparkSession,
+    df: DataFrame,
+    centroids: np.ndarray,
+    query_vec: list[float],
+    k: int = 10,
+    *,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF probe: scan only the ``nprobe`` clusters nearest the query, exact
+    cosine top-k inside — scan fraction ≈ nprobe/n_clusters.  Persist the
+    assignment partitioned by ``cluster`` (as build_ann_index does for
+    buckets) when serving a query workload."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    d = ((centroids - q[None, :]) ** 2).sum(axis=1)
+    probes = [int(i) for i in np.argsort(d, kind="stable")[:nprobe]]
+    assigned = _assign_clusters(df, centroids, vec_col)
+    cand = assigned.where(F.col("cluster").isin(probes))
+    return brute_force_topk(cand, query_vec, k, vec_col, id_col)
+
+
+# ---------------------------------------------------------------------------
 # Integer-quantized hyperplane LSH — the engine-portable (oracle-gateable)
 # variant: every arithmetic step is exact in int64/float64, so Spark, plain
 # Python and a DuckDB SQL twin compute identical bucket codes bit-for-bit

@@ -93,3 +93,20 @@ def test_persisted_ann_index_prunes_partitions(spark, tmp_path):
 
     m = re.search(r"PartitionFilters: \[(.*?)\]", plan)
     assert m and "bucket" in m.group(1), plan[:2000]
+
+
+def test_ivf_topk_recall_and_determinism(spark):
+    from parallel_betweenness_centrality_using_bsp_spark.operators.similarity import (
+        ivf_topk,
+        train_ivf,
+    )
+
+    df, vecs = _vec_df(spark, n=300, dim=16)
+    c1 = train_ivf(spark, df, k=8, iters=3)
+    c2 = train_ivf(spark, df, k=8, iters=3)
+    assert np.allclose(c1, c2)  # deterministic training
+    # a planted near-duplicate must land in the same probed cluster
+    near = (vecs[7] + np.float32(0.01)).tolist()
+    df2 = df.union(spark.createDataFrame([(999, near)], "vec_id long, embedding array<float>"))
+    got = [r["vec_id"] for r in ivf_topk(spark, df2, c1, vecs[7].tolist(), 5, nprobe=2).collect()]
+    assert 7 in got and 999 in got
