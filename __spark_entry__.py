@@ -665,8 +665,12 @@ def graph_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Synthetic assets → decode (fake codec) → per-type size stats.
-    Rows-only: the binary payload pipeline has no relational twin."""
+    """Synthetic assets → decode (fake codec via mapInPandas) → per-type
+    size stats — ORACLE-GATED: the payload generator is pure column
+    expressions (repeat(sha2(...), 4) cast binary), so the DuckDB twin
+    regenerates the identical bytes and reproduces the decode stats
+    (length, sha256-of-payload) the Arrow UDF computes — gating the
+    mapInPandas plumbing itself, not just the aggregation."""
     from parallel_betweenness_centrality_using_bsp_spark.operators.multimodal import (
         decode_media,
         synth_assets,
@@ -1269,6 +1273,18 @@ def oracle_sql() -> dict[str, str]:
         "minhash_neardup": _minhash_md5_sql(),
         "simhash_neardup": _simhash_md5_sql(),
         "ann_topk": _ann_quantized_sql(),
-        # rows-only (no ANSI-SQL twin — see docstring):
-        #   multimodal_pipeline (binary-payload pipeline)
+        "multimodal_pipeline": """
+            WITH assets AS (
+                SELECT range AS id,
+                       ['image','audio','video'][(range % 3) + 1] AS media_type,
+                       repeat(sha256('asset:42:' || range::VARCHAR), 4) AS payload
+                FROM range(300)),
+            dec AS (SELECT media_type, length(payload) AS n_bytes,
+                           sha256(payload) AS h
+                    FROM assets)
+            SELECT media_type, count(*) AS n_assets,
+                   sum(n_bytes)::BIGINT AS total_bytes,
+                   count(DISTINCT h) AS n_unique
+            FROM dec GROUP BY media_type ORDER BY media_type
+        """,
     }

@@ -89,6 +89,7 @@ def test_every_oracle_key_has_a_query():
     assert set(oracles) <= set(qs)
     # rows-only queries are intentional, documented exceptions
     rows_only = set(qs) - set(oracles)
-    # only the binary-payload multimodal pipeline has no relational twin;
-    # the LSH pipelines are fully oracle-gated via their portable families
-    assert rows_only == {"multimodal_pipeline"}
+    # every query has a full DuckDB twin — the LSH pipelines via their
+    # portable md5/quantized families, the multimodal pipeline via its
+    # column-expression payload generator
+    assert rows_only == set()
