@@ -34,6 +34,9 @@ SUBSET = [
     "jaccard_pairs_exact",
     "training_set_selection",
     "orders_rollup",
+    "events_cube",
+    "events_followup_counts",
+    "user_sessions",
     "similarity_topk",
     "graph_degree_topk",
     "graph_triangle_count",
