@@ -55,6 +55,9 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 GRAPH_MOD = 1000
+EMB_DIM = 64  # embeddings fixture dimension — shared by the ann query (plane
+              # generation from the query vector) and its SQL twin (literal
+              # hyperplane lists); the query asserts the fixture still matches
 
 
 def _order_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -485,12 +488,15 @@ def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full SimHash pipeline — ORACLE-GATED: the 60-bit md5 family (token
     hash = first 15 md5 hex chars) lets the DuckDB twin reproduce the
     bit-vote fingerprints, chunk buckets and hamming verification exactly.
-    The xxhash64 64-bit family stays the bulk default."""
+    max_hamming=3 — the regime where the 4-chunk pigeonhole bucketing
+    guarantees full recall (beyond 3, bucketed candidates under-recall, so
+    the stated threshold would overpromise).  The xxhash64 64-bit family
+    stays the bulk default."""
     from parallel_betweenness_centrality_using_bsp_spark.operators.dedup import simhash_dedup_pairs
 
     d = _t(spark, sf_dir, "documents")
     return simhash_dedup_pairs(
-        d, "text", "doc_id", max_hamming=8, hash_family="md5"
+        d, "text", "doc_id", max_hamming=3, hash_family="md5"
     ).orderBy("a", "b")
 
 
@@ -541,6 +547,10 @@ def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _t(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    assert len(q) == EMB_DIM, (
+        f"embeddings fixture dim changed ({len(q)} != {EMB_DIM}): update "
+        "EMB_DIM so the oracle's hyperplane literals match"
+    )
     return ann_topk_quantized(
         spark, e.where(F.col("vec_id") != 0), list(q), k=10, bits=8, probe_hamming=1
     )
@@ -890,7 +900,7 @@ def _minhash_md5_sql(k: int = 32, bands: int = 16, threshold: float = 0.3) -> st
     """
 
 
-def _simhash_md5_sql(max_hamming: int = 8) -> str:
+def _simhash_md5_sql(max_hamming: int = 3) -> str:
     """Full SimHash twin over the 60-bit md5 family: per-token hash = first
     15 md5 hex chars parsed as BIGINT, 60 bit-vote sums, sign → fingerprint,
     4×15-bit chunk buckets, bit_count(xor) verification — mirrors
@@ -936,7 +946,7 @@ def _ann_quantized_sql(k: int = 10, bits: int = 8, probe_hamming: int = 1, seed:
         quantized_hyperplanes,
     )
 
-    planes = quantized_hyperplanes(64, bits, seed)
+    planes = quantized_hyperplanes(EMB_DIM, bits, seed)
     terms = []
     for j in range(bits):
         plane = "[" + ", ".join(str(int(v)) for v in planes[:, j]) + "]::DOUBLE[]"

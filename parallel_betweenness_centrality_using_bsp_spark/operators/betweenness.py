@@ -347,12 +347,22 @@ class CsrArtifact:
     n: int
     n_edges: int
 
+    @property
+    def _pyarrow_uri(self) -> str:
+        # Spark writes s3a:// URIs; pyarrow's S3 filesystem answers to s3://
+        return self.path.replace("s3a://", "s3://", 1)
+
     def load(self) -> tuple[np.ndarray, np.ndarray, int]:
         hit = _CSR_CACHE.get(self.path)
         if hit is None:
-            import pyarrow.parquet as pq
+            import pyarrow.dataset as pads
 
-            t = pq.read_table(self.path, columns=["src", "dst"])
+            # dataset() resolves local paths AND object-store URIs (s3://,
+            # hdfs://, gs://) via FileSystem.from_uri; default
+            # ignore_prefixes skips Spark's _SUCCESS / hidden files
+            t = pads.dataset(self._pyarrow_uri, format="parquet").to_table(
+                columns=["src", "dst"]
+            )
             src = t.column("src").to_numpy(zero_copy_only=False).astype(np.int64)
             dst = t.column("dst").to_numpy(zero_copy_only=False).astype(np.int64)
             indptr, indices = build_csr_arrays(src, dst, self.n)
@@ -362,9 +372,18 @@ class CsrArtifact:
         return hit
 
     def cleanup(self) -> None:
-        import shutil
+        if "://" in self.path and not self.path.startswith("file:"):
+            try:
+                from pyarrow import fs as pafs
 
-        shutil.rmtree(self.path, ignore_errors=True)
+                f, p = pafs.FileSystem.from_uri(self._pyarrow_uri)
+                f.delete_dir(p)
+            except Exception:  # best effort — a leaked artifact is not fatal
+                pass
+        else:
+            import shutil
+
+            shutil.rmtree(self.path.removeprefix("file:"), ignore_errors=True)
 
 
 def prepare_csr(

@@ -31,6 +31,21 @@ import logging
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from parallel_betweenness_centrality_using_bsp_spark.functions.hashing import (
+    band_keys,
+    band_keys_join,
+    hamming64,
+    jaccard,
+    minhash_signatures_agg,
+    minhash_signatures_md5,
+    simhash_band,
+    simhash_band15,
+    simhash_signatures_agg,
+    simhash_signatures_md5,
+    word_shingles,
+)
+from parallel_betweenness_centrality_using_bsp_spark.functions.text import fingerprint, tokens
+
 log = logging.getLogger(__name__)
 
 
@@ -49,7 +64,11 @@ def cap_buckets(
     buckets as their own dedup cohort if recall there matters.
     """
     sizes = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("_n"))
-    over = sizes.where(F.col("_n") > max_bucket_size).persist()
+    # Materialize the (tiny by construction) oversized-bucket set ONCE: both
+    # the stats scan and the returned lazy anti-join read the checkpoint, so
+    # the full bucket-size aggregation never recomputes when the caller
+    # finally executes the candidate join.
+    over = sizes.where(F.col("_n") > max_bucket_size).localCheckpoint(eager=True)
     stats = over.agg(
         F.count(F.lit(1)).alias("buckets"), F.coalesce(F.sum("_n"), F.lit(0)).alias("rows")
     ).first()
@@ -59,24 +78,7 @@ def cap_buckets(
             "(max_bucket_size=%d); candidate pairs within them are NOT emitted",
             what, stats["buckets"], stats["rows"], max_bucket_size,
         )
-    out = df.join(F.broadcast(over.select(*key_cols)), key_cols, "left_anti")
-    over.unpersist()
-    return out
-
-from parallel_betweenness_centrality_using_bsp_spark.functions.hashing import (
-    band_keys,
-    band_keys_join,
-    hamming64,
-    jaccard,
-    minhash_signatures_agg,
-    minhash_signatures_md5,
-    simhash_band,
-    simhash_band15,
-    simhash_signatures_agg,
-    simhash_signatures_md5,
-    word_shingles,
-)
-from parallel_betweenness_centrality_using_bsp_spark.functions.text import fingerprint, tokens
+    return df.join(F.broadcast(over.select(*key_cols)), key_cols, "left_anti")
 
 
 def exact_duplicate_groups(
@@ -228,7 +230,12 @@ def simhash_dedup_pairs(
         band_fn = simhash_band15
     else:
         fps = simhash_signatures_agg(
-            df.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("_toks")),
+            # coalesce: null text still fingerprints (as the empty doc) — a
+            # corpus's null rows pair with each other instead of vanishing
+            df.select(
+                F.col(id_col).alias("id"),
+                tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("_toks"),
+            ),
             "id",
             "_toks",
         )

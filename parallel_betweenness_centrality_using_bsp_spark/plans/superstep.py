@@ -167,6 +167,9 @@ def superstep_loop(
             mdf = mdf.withColumn(
                 "lineage",
                 F.to_json(
+                    # ignoreNullFields=false: the first superstep's
+                    # parent_path is null and consumers json.loads()[key] it —
+                    # the default would omit the key entirely
                     F.struct(
                         F.col("algo"),
                         F.col("run_id"),
@@ -176,7 +179,8 @@ def superstep_loop(
                             "state_path"
                         ),
                         parent.alias("parent_path"),
-                    )
+                    ),
+                    {"ignoreNullFields": "false"},
                 ),
             )
             mdf.write.mode("append").parquet(f"{checkpoint_dir}/_metrics")

@@ -45,11 +45,17 @@ def test_checkpointed_run_writes_state_and_metrics(spark, tmp_path):
     }
     import json
 
-    lin = json.loads(metrics.orderBy("superstep").collect()[-1]["lineage"])
+    rows = metrics.orderBy("superstep").collect()
+    lin = json.loads(rows[-1]["lineage"])
     assert lin["algo"] == "connected_components" and lin["state_path"].endswith(
         f"superstep={run.supersteps}"
     )
     assert lin["parent_path"].endswith(f"superstep={run.supersteps - 1}")
+    # first superstep's parent is the initial-state checkpoint; the key must
+    # be PRESENT (to_json is configured not to drop null fields, so the
+    # lineage schema is stable for consumers that index it unconditionally)
+    first = json.loads(rows[0]["lineage"])
+    assert first["parent_path"].endswith("superstep=0")
 
 
 def test_resume_mid_iteration_identical_result(spark, tmp_path):
