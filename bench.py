@@ -129,6 +129,23 @@ def main() -> None:
     qvec = list(emb.where(F.col("vec_id") == 0).select("embedding").first()["embedding"])
     timed("similarity_topk", lambda: brute_force_topk(emb.where(F.col("vec_id") != 0), qvec, 10).collect())
 
+    # the serving-path ANN: one-off bucket-partitioned index build, then a
+    # partition-pruned probe query (the per-query cost a workload pays)
+    import tempfile
+
+    from parallel_betweenness_centrality_using_bsp_spark.operators.similarity import (
+        ann_topk_indexed,
+        build_ann_index,
+    )
+
+    idx = tempfile.mkdtemp(prefix="bench_ann_") + "/idx"
+    dim = len(qvec)
+    timed("ann_index_build", lambda: build_ann_index(spark, emb, idx, dim=dim, bits=8))
+    timed(
+        "ann_topk_indexed",
+        lambda: ann_topk_indexed(spark, idx, qvec, 10, bits=8, probe_hamming=1).collect(),
+    )
+
     total = round(sum(queries.values()), 3)
     print(
         json.dumps(

@@ -414,6 +414,15 @@ def prepare_csr(
         F.count(F.lit(1)).alias("m"),
     ).first()
     art = CsrArtifact(path=path, n=int(row["mx"]) + 1, n_edges=int(row["m"]))
+    csr_gb = (art.n_edges + art.n + 1) * 8 / 1e9
+    if csr_gb > 4.0:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "CSR will occupy ~%.1f GB per executor (%d edges); ensure executor "
+            "memory covers it or switch to betweenness_bsp / source sampling",
+            csr_gb, art.n_edges,
+        )
     return art, list(range(art.n))
 
 
