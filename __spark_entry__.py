@@ -279,6 +279,30 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize_batch(e).orderBy("user_id", "session_seq")
 
 
+def events_asof_prev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase event picks the latest same-user event
+    STRICTLY before it — one union + window pass (operators/asof.py), gated
+    against DuckDB's native ASOF JOIN."""
+    from parallel_betweenness_centrality_using_bsp_spark.operators.asof import asof_prev
+
+    e = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    anchors = e.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", us.alias("us")
+    )
+    refs = e.select("user_id", us.alias("us"))
+    return (
+        asof_prev(anchors, refs, ["user_id"], "us", out_col="prev_us")
+        .where(F.col("prev_us").isNotNull())
+        .select(
+            "event_id",
+            "prev_us",
+            (F.col("us") - F.col("prev_us")).alias("gap_us"),
+        )
+        .orderBy("event_id")
+    )
+
+
 def events_followup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range (theta) join: for each anchor event, count same-user events in
     the following 10 minutes — equi key (user_id) + range predicate, the
@@ -1009,6 +1033,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_daily": events_daily,
         "events_windowed": events_windowed,
         "events_followup_counts": events_followup_counts,
+        "events_asof_prev": events_asof_prev,
         "user_sessions": user_sessions,
         "part_brand_stats": part_brand_stats,
         "lineitem_topk": lineitem_topk,
@@ -1127,6 +1152,15 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1, 2 ORDER BY win_start, event_type
         """,
         "user_sessions": sessionize_batch_sql() + " ORDER BY user_id, session_seq",
+        "events_asof_prev": """
+            SELECT a.event_id,
+                   epoch_us(b.ts) AS prev_us,
+                   epoch_us(a.ts) - epoch_us(b.ts) AS gap_us
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') a
+            ASOF JOIN (SELECT user_id, ts FROM events) b
+              ON a.user_id = b.user_id AND b.ts < a.ts
+            ORDER BY a.event_id
+        """,
         "events_followup_counts": """
             SELECT a.event_id AS a_id, count(b.ts) AS n_follow
             FROM events a LEFT JOIN events b

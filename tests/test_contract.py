@@ -36,6 +36,7 @@ SUBSET = [
     "orders_rollup",
     "events_cube",
     "events_followup_counts",
+    "events_asof_prev",
     "user_sessions",
     "similarity_topk",
     "graph_degree_topk",

@@ -93,3 +93,27 @@ def test_no_driver_edge_materialization():
         src = inspect.getsource(mod)
         assert ".toPandas(" not in src
         assert "vertices.collect()" not in src
+
+
+def test_asof_prev_single_window_pass(spark):
+    """asof_prev must plan as union + ONE window (single shuffle on the
+    key), never a range join; semantics: strictly-before, per key."""
+    from parallel_betweenness_centrality_using_bsp_spark.operators.asof import asof_prev
+
+    anchors = spark.createDataFrame(
+        [(1, 10, 100), (2, 10, 200), (3, 20, 150)], "id long, k long, ts long"
+    )
+    refs = spark.createDataFrame(
+        [(10, 100), (10, 150), (10, 199), (20, 150), (20, 149)], "k long, ts long"
+    )
+    out = asof_prev(anchors, refs, ["k"], "ts", "prev")
+    got = {r["id"]: r["prev"] for r in out.collect()}
+    # id=1: refs at ts=100 are NOT strictly before 100 -> null
+    # id=2: greatest ref < 200 is 199; id=3: ref 150 excluded (==), 149 wins
+    assert got == {1: None, 2: 199, 3: 149}
+    plan = _plan(out)
+    final = plan.split("== Initial Plan ==")[0]  # AQE prints the tree twice
+    # exactly one Window node and one shuffle in the final tree, no join
+    assert final.count("Window (") == 1, final
+    assert final.count("Exchange (") == 1, final
+    assert "Join" not in final  # no range/theta join anywhere
