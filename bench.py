@@ -74,16 +74,16 @@ def main() -> None:
     m = g.count()
 
     run_pr = timed(
-        "pagerank_10iter", lambda: pagerank(spark, g, tol=0.0, max_supersteps=PR_ITERS)
+        "pagerank_10iter", lambda: pagerank(spark, g, tol=0.0, max_supersteps=PR_ITERS, count_rows=False)
     )
     throughput["pagerank_iters_per_sec"] = round(PR_ITERS / queries["pagerank_10iter"], 4)
 
-    run_cc = timed("connected_components", lambda: connected_components(spark, g))
+    run_cc = timed("connected_components", lambda: connected_components(spark, g, count_rows=False))
     throughput["cc_supersteps_per_sec"] = round(
         run_cc.supersteps / queries["connected_components"], 4
     )
 
-    timed("label_propagation_3", lambda: label_propagation(spark, g, max_supersteps=3))
+    timed("label_propagation_3", lambda: label_propagation(spark, g, max_supersteps=3, count_rows=False))
 
     timed("triangle_count", lambda: triangle_count(spark, g))
 

@@ -37,6 +37,7 @@ def connected_components(
     resume_state: DataFrame | None = None,
     start_step: int = 0,
     algorithm: str = "hashmin",
+    count_rows: bool = True,
 ) -> SuperstepRun:
     """``algorithm="hashmin"`` (default): label diffusion, O(diameter) rounds
     — right for small-diameter web/import graphs.  ``algorithm="starcontract"``:
@@ -71,6 +72,7 @@ def connected_components(
         num_partitions=num_partitions,
         resume_state=resume_state,
         start_step=start_step,
+        count_rows=count_rows,
     )
 
 
@@ -84,10 +86,13 @@ def _hashmin(
     num_partitions: int | None = None,
     resume_state: DataFrame | None = None,
     start_step: int = 0,
+    count_rows: bool = True,
 ) -> SuperstepRun:
     """Returns run whose state is (vertex long, label long).
 
-    ``resume_state``/``start_step`` restart a checkpointed run mid-iteration.
+    ``resume_state``/``start_step`` restart a checkpointed run mid-iteration;
+    ``count_rows=False`` elides the per-superstep row-count job (convergence
+    uses the label-sum scan, not the count).
     """
     p = num_partitions or spark.sparkContext.defaultParallelism
     und = symmetrize(edges).repartition(p, "src").persist()
@@ -136,6 +141,7 @@ def _hashmin(
         checkpoint_dir=checkpoint_dir,
         run_id=run_id,
         start_step=start_step,
+        count_rows=count_rows,
     )
     und.unpersist()
     return run

@@ -38,10 +38,13 @@ def label_propagation(
     num_partitions: int | None = None,
     resume_state: DataFrame | None = None,
     start_step: int = 0,
+    count_rows: bool = True,
 ) -> SuperstepRun:
     """Returns run whose state is (vertex long, label long).
 
     ``resume_state``/``start_step`` restart a checkpointed run mid-iteration.
+    ``count_rows=False`` elides the per-superstep row-count job (pure
+    observability) — worthwhile when supersteps are short.
     """
     p = num_partitions or spark.sparkContext.defaultParallelism
     und = symmetrize(edges).repartition(p, "src").persist()
@@ -93,6 +96,7 @@ def label_propagation(
         checkpoint_dir=checkpoint_dir,
         run_id=run_id,
         start_step=start_step,
+        count_rows=count_rows,
     )
     und.unpersist()
     return run
