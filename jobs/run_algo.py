@@ -57,8 +57,6 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv: list[str] | None = None) -> None:
     args = build_parser().parse_args(argv)
 
-    from pyspark.sql import functions as F
-
     from parallel_betweenness_centrality_using_bsp_spark.operators import edges as edge_ops
     from parallel_betweenness_centrality_using_bsp_spark.session import get_spark
 

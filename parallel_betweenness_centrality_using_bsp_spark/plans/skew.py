@@ -27,7 +27,7 @@ data: salted plan for hub keys, plain plan for the long tail.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 

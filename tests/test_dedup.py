@@ -1,5 +1,3 @@
-from pyspark.sql import functions as F
-
 from parallel_betweenness_centrality_using_bsp_spark.operators.dedup import (
     dedup_keep_ids,
     exact_dedup,

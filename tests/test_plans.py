@@ -65,8 +65,6 @@ def test_csr_sweep_partition_count_survives_aqe(spark):
             yield pdf
 
     out = reparted.mapInPandas(fn, "source long")
-    import pandas as pd
-
     counts = out.withColumn("pid", F.spark_partition_id()).groupBy("pid").count()
     n_parts = counts.count()
     assert n_parts == 16, f"expected 16 kernel tasks, got {n_parts}"

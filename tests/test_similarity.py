@@ -1,5 +1,4 @@
 import numpy as np
-from pyspark.sql import functions as F
 
 from parallel_betweenness_centrality_using_bsp_spark.operators.similarity import (
     ann_topk,
