@@ -628,6 +628,25 @@ def graph_pagerank5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run.state.select("vertex", F.round("pr", 6).alias("pr")).orderBy("vertex")
 
 
+def graph_ppr5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank, 5 fixed iterations: teleport concentrated on
+    the seed set {v < 10} (dangling mass redistributed by the same vector);
+    oracle = the unrolled SQL twin with the matching CASE teleport column."""
+    from parallel_betweenness_centrality_using_bsp_spark.operators.pagerank import pagerank
+
+    e = _order_edges(spark, sf_dir)
+    verts = (
+        e.select(F.col("src").alias("vertex"))
+        .unionByName(e.select(F.col("dst").alias("vertex")))
+        .distinct()
+    )
+    seeds = sorted(
+        r["vertex"] for r in verts.where(F.col("vertex") < PPR_SEED_CAP).collect()
+    )
+    run = pagerank(spark, e, tol=0.0, max_supersteps=5, personalize=seeds)
+    return run.state.select("vertex", F.round("pr", 6).alias("pr")).orderBy("vertex")
+
+
 def graph_labelprop3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3 synchronous LPA rounds; deterministic (count desc, label asc)
     argmax makes the unrolled SQL oracle bit-identical."""
@@ -789,17 +808,22 @@ def _quality_sql() -> str:
     )
 
 
-def _pagerank5_sql() -> str:
-    """5 unrolled power iterations matching operators/pagerank.py exactly."""
+def _pagerank5_sql(tele_expr: str | None = None) -> str:
+    """5 unrolled power iterations matching operators/pagerank.py exactly:
+    ``pr' = (1-a)·t + a·(contribs + dangling_mass·t)`` with a per-vertex
+    teleport column t — uniform ``1/n`` by default, or the given SQL
+    expression over ``dverts`` (personalized PageRank)."""
     a = 0.85
+    tele = tele_expr or "1.0 / (SELECT n FROM n_tot)"
     parts = [
         f"WITH {_EDGES_SQL},",
-        """
+        f"""
   dverts AS (SELECT DISTINCT src AS vertex FROM edges
              UNION SELECT DISTINCT dst FROM edges),
   n_tot AS (SELECT count(*)::DOUBLE AS n FROM dverts),
   outdeg AS (SELECT src AS vertex, count(*)::DOUBLE AS od FROM edges GROUP BY src),
-  pr0 AS (SELECT vertex, (SELECT 1.0 / n FROM n_tot) AS pr FROM dverts)
+  tele AS (SELECT vertex, ({tele}) AS t FROM dverts),
+  pr0 AS (SELECT vertex, t AS pr FROM tele)
 """,
     ]
     for k in range(1, 6):
@@ -812,13 +836,22 @@ def _pagerank5_sql() -> str:
            FROM {p} p JOIN edges e ON e.src = p.vertex
            JOIN outdeg o ON o.vertex = p.vertex GROUP BY e.dst),
   pr{k} AS (SELECT v.vertex,
-              (1.0 - {a}) / (SELECT n FROM n_tot)
-              + {a} * (coalesce(c.c, 0.0) + (SELECT m FROM dm{k}) / (SELECT n FROM n_tot)) AS pr
-            FROM dverts v LEFT JOIN c{k} c ON c.vertex = v.vertex)
+              (1.0 - {a}) * v.t
+              + {a} * (coalesce(c.c, 0.0) + (SELECT m FROM dm{k}) * v.t) AS pr
+            FROM tele v LEFT JOIN c{k} c ON c.vertex = v.vertex)
 """
         )
     parts.append("SELECT vertex, round(pr, 6) AS pr FROM pr5 ORDER BY vertex")
     return "".join(parts)
+
+
+PPR_SEED_CAP = 10  # personalized-PageRank seed set: vertices with id < cap
+
+_PPR_TELE_SQL = (
+    f"CASE WHEN vertex < {PPR_SEED_CAP} THEN "
+    f"1.0 / (SELECT count(*) FROM dverts WHERE vertex < {PPR_SEED_CAP}) "
+    "ELSE 0.0 END"
+)
 
 
 def _betweenness_sql() -> str:
@@ -1058,6 +1091,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_components": graph_components,
         "graph_components_star": graph_components_star,
         "graph_pagerank5": graph_pagerank5,
+        "graph_ppr5": graph_ppr5,
         "graph_labelprop3": graph_labelprop3,
         "graph_betweenness": graph_betweenness,
         "graph_bfs_dist": graph_bfs_dist,
@@ -1296,6 +1330,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT vertex, min(lab) AS label FROM reach GROUP BY vertex ORDER BY vertex
         """,
         "graph_pagerank5": _pagerank5_sql(),
+        "graph_ppr5": _pagerank5_sql(_PPR_TELE_SQL),
         "graph_labelprop3": _labelprop3_sql(),
         "graph_betweenness": _betweenness_sql(),
         "graph_bfs_dist": f"""

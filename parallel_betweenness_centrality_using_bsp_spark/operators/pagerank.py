@@ -1,9 +1,12 @@
 """PageRank — power iteration as iterative DataFrame joins.
 
-``pr'(v) = (1-d)/n + d * ( Σ_{u→v} pr(u)/outdeg(u) + dangling_mass/n )``
+``pr'(v) = (1-d)·t(v) + d * ( Σ_{u→v} pr(u)/outdeg(u) + dangling_mass·t(v) )``
 
-matching ``networkx.pagerank`` semantics (uniform teleport, dangling mass
-redistributed uniformly); Σ pr == 1 is an invariant each iteration.
+where the teleport vector t is uniform 1/n by default (matching
+``networkx.pagerank``) or concentrated on a ``personalize`` seed set
+(t = 1/|S| on S, 0 elsewhere — personalized PageRank, with dangling mass
+redistributed by t, networkx's default dangling weights).  Σ pr == 1 is an
+invariant each iteration in both modes.
 
 Scale notes:
   * ``edges × ranks`` is the big join; the edge table (with outdeg attached)
@@ -37,11 +40,13 @@ def pagerank(
     resume_state: DataFrame | None = None,
     start_step: int = 0,
     count_rows: bool = True,
+    personalize: list[int] | None = None,
 ) -> SuperstepRun:
     """Returns run whose state is (vertex long, pr double).
 
     ``resume_state``/``start_step`` (from ``plans.superstep.latest_checkpoint``)
-    restart a crashed checkpointed run mid-iteration.
+    restart a crashed checkpointed run mid-iteration.  ``personalize`` runs
+    personalized PageRank over the given seed-vertex set.
     """
     p = num_partitions or spark.sparkContext.defaultParallelism
     e = edges.select("src", "dst").dropDuplicates(["src", "dst"])
@@ -64,7 +69,23 @@ def pagerank(
         e.select(F.col("src").alias("vertex")).distinct(), "vertex", "left_anti"
     ).persist()
 
-    initial = vertices.withColumn("pr", F.lit(1.0 / n))
+    # Teleport vector t — one persisted (vertex, t) table, partitioned like
+    # vertices so the per-iteration left join reuses the layout.  Uniform
+    # 1/n, or 1/|S| over the personalization seed set (broadcast: seeds are
+    # small by definition).
+    if personalize:
+        seeds = sorted(set(int(v) for v in personalize))
+        pers = spark.createDataFrame(
+            [(v, 1.0 / len(seeds)) for v in seeds], "vertex long, t double"
+        )
+        tele = vertices.join(F.broadcast(pers), "vertex", "left").select(
+            "vertex", F.coalesce("t", F.lit(0.0)).alias("t")
+        )
+    else:
+        tele = vertices.withColumn("t", F.lit(1.0 / n))
+    tele = tele.repartition(p, "vertex").persist()
+
+    initial = tele.select("vertex", F.col("t").alias("pr"))
 
     def step(state: DataFrame, _k: int) -> DataFrame:
         # Dangling mass stays INSIDE the plan as a broadcast 1-row aggregate
@@ -82,14 +103,14 @@ def pagerank(
             .agg(F.sum("c").alias("c"))
         )
         return (
-            vertices.join(contribs, "vertex", "left")
+            tele.join(contribs, "vertex", "left")
             .join(F.broadcast(dm))
             .select(
                 "vertex",
                 (
-                    F.lit((1.0 - alpha) / n)
+                    F.lit(1.0 - alpha) * F.col("t")
                     + F.lit(alpha)
-                    * (F.coalesce(F.col("c"), F.lit(0.0)) + F.col("_dm") / F.lit(float(n)))
+                    * (F.coalesce(F.col("c"), F.lit(0.0)) + F.col("_dm") * F.col("t"))
                 ).alias("pr"),
             )
         )

@@ -28,17 +28,25 @@ def oracle_betweenness(edges, directed=False) -> dict[int, float]:
     return nx.betweenness_centrality(g, normalized=False)
 
 
-def oracle_pagerank(edges, alpha=0.85, directed=True) -> dict[int, float]:
-    """Pure-python power iteration with uniform teleport + uniform dangling
-    redistribution (networkx.pagerank semantics; nx needs scipy, absent)."""
+def oracle_pagerank(
+    edges, alpha=0.85, directed=True, personalize=None
+) -> dict[int, float]:
+    """Pure-python power iteration (networkx.pagerank semantics; nx needs
+    scipy, absent): teleport + dangling redistribution over the uniform
+    vector, or over a ``personalize`` seed set (t = 1/|S| on S)."""
     g = nx_graph(edges, directed)
     nodes = sorted(g.nodes())
     n = len(nodes)
-    pr = {v: 1.0 / n for v in nodes}
+    if personalize is not None:
+        seeds = set(personalize)
+        t = {v: (1.0 / len(seeds) if v in seeds else 0.0) for v in nodes}
+    else:
+        t = {v: 1.0 / n for v in nodes}
+    pr = dict(t)
     out = {v: (g.out_degree(v) if directed else g.degree(v)) for v in nodes}
     for _ in range(1000):
         dangling = sum(pr[v] for v in nodes if out[v] == 0)
-        new = {v: (1.0 - alpha) / n + alpha * dangling / n for v in nodes}
+        new = {v: (1.0 - alpha) * t[v] + alpha * dangling * t[v] for v in nodes}
         for u, v in g.edges():
             new[v] += alpha * pr[u] / out[u]
             if not directed:

@@ -26,3 +26,22 @@ def test_er_graph(spark):
     run = pagerank(spark, edge_df(spark, edges + [(b, a) for a, b in edges]), tol=1e-10)
     got = df_to_dict(run.state, "vertex", "pr")
     assert_scores_close(got, oracle_pagerank(edges, directed=False))
+
+
+def test_personalized_pagerank_matches_oracle(spark):
+    import numpy as np
+
+    from parallel_betweenness_centrality_using_bsp_spark.operators.pagerank import pagerank
+    from parallel_betweenness_centrality_using_bsp_spark.sources.graphs import edge_df
+
+    from tests.oracles import er_graph, oracle_pagerank
+
+    edges = er_graph(n=80, p=0.06, seed=3)
+    seeds = [0, 3, 7]
+    run = pagerank(spark, edge_df(spark, edges), tol=1e-10, max_supersteps=200,
+                   personalize=seeds)
+    got = {r["vertex"]: r["pr"] for r in run.state.collect()}
+    want = oracle_pagerank(edges, directed=True, personalize=seeds)
+    for v, pr in want.items():
+        assert np.isclose(got[v], pr, atol=1e-6)
+    assert abs(sum(got.values()) - 1.0) < 1e-9  # mass conserved with teleport set
