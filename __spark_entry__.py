@@ -455,6 +455,25 @@ def doc_quality_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_tfidf_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tf·idf term weighting: top-3 terms per document (doc_id < 50) by
+    ROUNDED tfidf desc then term asc — ranking on the rounded score keeps
+    the tie-break order identical across engines.  Document frequency is
+    computed over the full corpus."""
+    from parallel_betweenness_centrality_using_bsp_spark.operators.features import tf_idf_terms
+
+    d = _t(spark, sf_dir, "documents")
+    scored = tf_idf_terms(d).withColumn("tfidf", F.round("tfidf", 6))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.where(F.col("doc_id") < 50)
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("doc_id", "rk", "term", "tf", "tfidf")
+        .orderBy("doc_id", "rk")
+    )
+
+
 def exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """sha256-fingerprint duplicate groups (n>1) over normalized text."""
     from parallel_betweenness_centrality_using_bsp_spark.operators.dedup import exact_duplicate_groups
@@ -674,6 +693,24 @@ def graph_bfs_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sources = sorted(r["vertex"] for r in verts.where(F.col("vertex") < 8).collect())
     return bfs_distances(spark, e, sources).orderBy("source", "vertex")
+
+
+def graph_neighbor_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GraphSAGE-style neighbor mean aggregation over the order-derived
+    graph, node features from the embeddings table (first 8 dims): long
+    (vertex, pos, nbr_mean) layout — every cell scalar, one join + one
+    hash agg."""
+    from parallel_betweenness_centrality_using_bsp_spark.operators.features import (
+        neighbor_feature_means,
+    )
+
+    e = _order_edges(spark, sf_dir)
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        neighbor_feature_means(e, emb, dims=8)
+        .select("vertex", "pos", F.round("nbr_mean", 6).alias("nbr_mean"))
+        .orderBy("vertex", "pos")
+    )
 
 
 def dedup_kept_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1076,6 +1113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_token_stats": doc_token_stats,
         "doc_lang_id": doc_lang_id,
         "doc_quality_topk": doc_quality_topk,
+        "doc_tfidf_top3": doc_tfidf_top3,
         "exact_dup_groups": exact_dup_groups,
         "jaccard_pairs_exact": jaccard_pairs_exact,
         "training_set_selection": training_set_selection,
@@ -1095,6 +1133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_labelprop3": graph_labelprop3,
         "graph_betweenness": graph_betweenness,
         "graph_bfs_dist": graph_bfs_dist,
+        "graph_neighbor_features": graph_neighbor_features,
         "dedup_kept_count": dedup_kept_count,
         # multimodal
         "multimodal_pipeline": multimodal_pipeline,
@@ -1251,6 +1290,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, {_quality_sql()} AS quality
             FROM documents ORDER BY quality DESC, doc_id LIMIT 25
         """,
+        "doc_tfidf_top3": r"""
+            WITH toks AS (
+                SELECT doc_id, unnest(regexp_extract_all(lower(trim(text)), '\S+')) AS term
+                FROM documents),
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+            dfreq AS (SELECT term, count(DISTINCT doc_id) AS dfq FROM toks GROUP BY term),
+            n AS (SELECT count(DISTINCT doc_id)::DOUBLE AS nd FROM toks),
+            scored AS (
+                SELECT doc_id, term, tf,
+                       round(tf * ln((SELECT nd FROM n) / dfq), 6) AS tfidf
+                FROM tf JOIN dfreq USING (term)),
+            ranked AS (
+                SELECT doc_id, term, tf, tfidf,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY tfidf DESC, term ASC) AS rk
+                FROM scored WHERE doc_id < 50)
+            SELECT doc_id, rk, term, tf, tfidf
+            FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk
+        """,
         "exact_dup_groups": r"""
             SELECT sha256(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
                    count(*) AS n_docs, min(doc_id) AS keep_id
@@ -1344,6 +1402,15 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT s AS source, v AS vertex, min(d)::INT AS dist
             FROM walk GROUP BY s, v ORDER BY source, vertex
+        """,
+        "graph_neighbor_features": f"""
+            WITH {_EDGES_SQL},
+            f AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            ex AS (SELECT e.dst AS vertex, g.i - 1 AS pos, f.v[g.i] AS val
+                   FROM edges e JOIN f ON f.vec_id = e.src
+                   CROSS JOIN generate_series(1, 8) AS g(i))
+            SELECT vertex, pos, round(avg(val), 6) AS nbr_mean
+            FROM ex GROUP BY vertex, pos ORDER BY vertex, pos
         """,
         "dedup_kept_count": r"""
             SELECT count(DISTINCT sha256(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))) AS n_kept

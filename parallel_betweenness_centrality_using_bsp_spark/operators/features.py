@@ -1,0 +1,83 @@
+"""Graph feature propagation — the GraphSAGE-style mean aggregator a
+training pipeline uses to attach neighborhood context to node features.
+
+Long format (vertex, pos, nbr_mean) by design: at 100 TB the position-
+exploded layout is the scalable one — every row is a scalar, the aggregation
+is an ordinary hash agg with map-side combine, partitioning by (vertex)
+composes with every other per-vertex table, and no executor ever holds a
+wide array per group.  (Assembling array columns back is a trivial
+``collect_list(struct(pos, val))`` for consumers that want it.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def tf_idf_terms(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, term, tf, tfidf): classic tf·ln(N/df) term weighting.
+
+    Three hash aggregations, all map-side-combined: term frequency per
+    (doc, term), document frequency per term, and the corpus size as an
+    in-plan broadcast 1-row aggregate (no driver-side count).  Tokens are
+    regexp-extracted (``\\S+`` over lowercased text) so zero-token docs drop
+    identically in any engine.  The document-frequency join broadcasts when
+    the vocabulary is small; at web scale it is a plain shuffle on ``term``
+    — a balanced key space by construction (hot terms have ONE df row).
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.regexp_extract_all(F.lower(F.trim(F.col(text_col))), F.lit(r"\S+"), 0)
+        ).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = (
+        toks.dropDuplicates(["doc_id", "term"])
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("dfq"))
+    )
+    nd = toks.agg(F.countDistinct("doc_id").cast("double").alias("nd"))
+    return (
+        tf.join(dfreq, "term")
+        .join(F.broadcast(nd))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            (F.col("tf") * F.log(F.col("nd") / F.col("dfq"))).alias("tfidf"),
+        )
+    )
+
+
+def neighbor_feature_means(
+    edges: DataFrame,
+    features: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int | None = None,
+) -> DataFrame:
+    """(vertex, pos, nbr_mean): element-wise mean of each vertex's
+    in-neighbors' feature vectors (neighbors = sources of incoming edges).
+
+    One join (edges × position-exploded features on ``src``) + one hash
+    aggregation; ``dims`` restricts to the first d positions (prune before
+    the shuffle).  Vertices with no in-neighbors carrying features are
+    absent (left-join against the vertex table to densify if needed).
+    """
+    f = features.select(
+        F.col(id_col).alias("src"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "val"),
+    )
+    if dims is not None:
+        f = f.where(F.col("pos") < dims)
+    return (
+        edges.select("src", "dst")
+        .join(f, "src")
+        .groupBy(F.col("dst").alias("vertex"), "pos")
+        .agg(F.avg("val").alias("nbr_mean"))
+    )

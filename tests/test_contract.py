@@ -31,6 +31,7 @@ SUBSET = [
     "doc_token_stats",
     "doc_lang_id",
     "doc_quality_topk",
+    "doc_tfidf_top3",
     "jaccard_pairs_exact",
     "training_set_selection",
     "orders_rollup",
@@ -43,6 +44,8 @@ SUBSET = [
     "graph_triangle_count",
     "graph_components",
     "graph_pagerank5",
+    "graph_ppr5",
+    "graph_neighbor_features",
     "graph_labelprop3",
     "graph_betweenness",
     "graph_bfs_dist",

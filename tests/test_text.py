@@ -46,3 +46,19 @@ def test_quality_score_bounds(spark):
     vals = [r["q"] for r in df.select(quality_score(F.col("text")).alias("q")).collect()]
     assert all(0.0 <= v <= 1.0 for v in vals)
     assert vals[0] > vals[1]  # real text beats punctuation soup
+
+
+def test_tf_idf_terms_basic(spark):
+    """tf counts multiplicity; idf = ln(N/df); a term in every doc scores 0."""
+    import math
+
+    from parallel_betweenness_centrality_using_bsp_spark.operators.features import tf_idf_terms
+
+    df = spark.createDataFrame(
+        [(0, "apple apple banana"), (1, "apple cherry"), (2, "apple date")],
+        "doc_id long, text string",
+    )
+    rows = {(r["doc_id"], r["term"]): (r["tf"], r["tfidf"]) for r in tf_idf_terms(df).collect()}
+    assert rows[(0, "apple")][0] == 2
+    assert abs(rows[(0, "apple")][1]) < 1e-12           # df == N -> idf 0
+    assert abs(rows[(0, "banana")][1] - math.log(3.0)) < 1e-12
