@@ -695,6 +695,60 @@ def graph_bfs_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bfs_distances(spark, e, sources).orderBy("source", "vertex")
 
 
+WALK_LEN = 4
+WALK_START_CAP = 30
+
+
+def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic random walks (DeepWalk corpus generation): 4 steps from
+    every vertex < 30, neighbor choice = md5int(walk ':' step) mod degree —
+    the DuckDB twin replays the identical walks step by step."""
+    from parallel_betweenness_centrality_using_bsp_spark.operators.walks import random_walks
+
+    e = _order_edges(spark, sf_dir)
+    verts = (
+        e.select(F.col("src").alias("vertex"))
+        .unionByName(e.select(F.col("dst").alias("vertex")))
+        .distinct()
+    )
+    starts = verts.where(F.col("vertex") < WALK_START_CAP)
+    return random_walks(spark, e, starts, walk_length=WALK_LEN).orderBy(
+        "walk_id", "pos"
+    )
+
+
+def _random_walks_sql() -> str:
+    md5i = (
+        "(('0x' || substr(md5(s.walk_id::VARCHAR || ':' || '{k}'), 1, 15))::BIGINT"
+        " % d.deg)"
+    )
+    parts = [
+        f"WITH {_EDGES_SQL},",
+        f"""
+  adj AS (SELECT src, dst,
+                 row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx
+          FROM und),
+  deg AS (SELECT src, count(*) AS deg FROM und GROUP BY src),
+  w0 AS (SELECT vertex AS walk_id, vertex AS v FROM vertices
+         WHERE vertex < {WALK_START_CAP})
+""",
+    ]
+    for k in range(1, WALK_LEN + 1):
+        parts.append(
+            f""",
+  w{k} AS (SELECT s.walk_id, a.dst AS v
+           FROM w{k - 1} s JOIN deg d ON d.src = s.v
+           JOIN adj a ON a.src = s.v AND a.idx = {md5i.format(k=k)})
+"""
+        )
+    union = " UNION ALL ".join(
+        f"SELECT walk_id, {k} AS pos, v AS vertex FROM w{k}"
+        for k in range(WALK_LEN + 1)
+    )
+    parts.append(f"SELECT * FROM ({union}) ORDER BY walk_id, pos")
+    return "".join(parts)
+
+
 def graph_neighbor_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GraphSAGE-style neighbor mean aggregation over the order-derived
     graph, node features from the embeddings table (first 8 dims): long
@@ -1134,6 +1188,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_betweenness": graph_betweenness,
         "graph_bfs_dist": graph_bfs_dist,
         "graph_neighbor_features": graph_neighbor_features,
+        "graph_random_walks": graph_random_walks,
         "dedup_kept_count": dedup_kept_count,
         # multimodal
         "multimodal_pipeline": multimodal_pipeline,
@@ -1403,6 +1458,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT s AS source, v AS vertex, min(d)::INT AS dist
             FROM walk GROUP BY s, v ORDER BY source, vertex
         """,
+        "graph_random_walks": _random_walks_sql(),
         "graph_neighbor_features": f"""
             WITH {_EDGES_SQL},
             f AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -46,6 +46,7 @@ SUBSET = [
     "graph_pagerank5",
     "graph_ppr5",
     "graph_neighbor_features",
+    "graph_random_walks",
     "graph_labelprop3",
     "graph_betweenness",
     "graph_bfs_dist",
