@@ -474,6 +474,30 @@ def doc_tfidf_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 20% hash sample of documents, summarized per predicted
+    language with EXACT percentile stats (median + p90 of token counts) —
+    the reproducible train/eval-split primitive plus percentile coverage."""
+    from parallel_betweenness_centrality_using_bsp_spark.functions.text import lang_id, token_count
+    from parallel_betweenness_centrality_using_bsp_spark.operators.features import (
+        deterministic_sample,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    s = deterministic_sample(d, 0.2).select(
+        lang_id(F.col("text")).alias("lang"), token_count(F.col("text")).alias("n_tok")
+    )
+    return (
+        s.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.expr("percentile(n_tok, 0.5)"), 6).alias("median_tok"),
+            F.round(F.expr("percentile(n_tok, 0.9)"), 6).alias("p90_tok"),
+        )
+        .orderBy("lang")
+    )
+
+
 def exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """sha256-fingerprint duplicate groups (n>1) over normalized text."""
     from parallel_betweenness_centrality_using_bsp_spark.operators.dedup import exact_duplicate_groups
@@ -1168,6 +1192,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lang_id": doc_lang_id,
         "doc_quality_topk": doc_quality_topk,
         "doc_tfidf_top3": doc_tfidf_top3,
+        "doc_sample_stats": doc_sample_stats,
         "exact_dup_groups": exact_dup_groups,
         "jaccard_pairs_exact": jaccard_pairs_exact,
         "training_set_selection": training_set_selection,
@@ -1344,6 +1369,17 @@ def oracle_sql() -> dict[str, str]:
         "doc_quality_topk": f"""
             SELECT doc_id, {_quality_sql()} AS quality
             FROM documents ORDER BY quality DESC, doc_id LIMIT 25
+        """,
+        "doc_sample_stats": f"""
+            WITH sampled AS (
+                SELECT {_lang_case()} AS lang, {_NTOK} AS n_tok
+                FROM documents
+                WHERE (('0x' || substr(md5('sample:' || doc_id::VARCHAR), 1, 15))::BIGINT
+                       % 10000) < 2000)
+            SELECT lang, count(*) AS n_docs,
+                   round(quantile_cont(n_tok, 0.5), 6) AS median_tok,
+                   round(quantile_cont(n_tok, 0.9), 6) AS p90_tok
+            FROM sampled GROUP BY lang ORDER BY lang
         """,
         "doc_tfidf_top3": r"""
             WITH toks AS (

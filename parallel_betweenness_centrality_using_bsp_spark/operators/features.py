@@ -15,6 +15,27 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def deterministic_sample(
+    df: DataFrame,
+    fraction: float,
+    *,
+    key_col: str = "doc_id",
+    buckets: int = 10_000,
+    salt: str = "sample",
+) -> DataFrame:
+    """Deterministic hash sampling: keep rows whose md5-bucket of the key
+    falls under ``fraction`` — reproducible across runs, retries and
+    engines (no RNG), stable under data growth (a kept key stays kept),
+    and pure filter pushdown-friendly.  The training-set answer to
+    ``df.sample`` whose output changes with partitioning."""
+    from parallel_betweenness_centrality_using_bsp_spark.functions.hashing import md5_token_value
+
+    bucket = md5_token_value(
+        F.concat_ws(":", F.lit(salt), F.col(key_col).cast("string"))
+    ) % F.lit(buckets)
+    return df.where(bucket < int(fraction * buckets))
+
+
 def tf_idf_terms(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -32,6 +32,7 @@ SUBSET = [
     "doc_lang_id",
     "doc_quality_topk",
     "doc_tfidf_top3",
+    "doc_sample_stats",
     "jaccard_pairs_exact",
     "training_set_selection",
     "orders_rollup",

@@ -62,3 +62,17 @@ def test_tf_idf_terms_basic(spark):
     assert rows[(0, "apple")][0] == 2
     assert abs(rows[(0, "apple")][1]) < 1e-12           # df == N -> idf 0
     assert abs(rows[(0, "banana")][1] - math.log(3.0)) < 1e-12
+
+
+def test_deterministic_sample_stable_and_consistent(spark):
+    from parallel_betweenness_centrality_using_bsp_spark.operators.features import (
+        deterministic_sample,
+    )
+
+    df = spark.createDataFrame([(i, "x") for i in range(2000)], "doc_id long, text string")
+    a = {r["doc_id"] for r in deterministic_sample(df, 0.3).collect()}
+    b = {r["doc_id"] for r in deterministic_sample(df, 0.3).collect()}
+    assert a == b and 0.25 < len(a) / 2000 < 0.35
+    # monotone: a smaller fraction is a subset of a larger one (stable splits)
+    c = {r["doc_id"] for r in deterministic_sample(df, 0.1).collect()}
+    assert c <= a
