@@ -138,13 +138,28 @@ def main() -> None:
         build_ann_index,
     )
 
-    idx = tempfile.mkdtemp(prefix="bench_ann_") + "/idx"
+    import shutil
+
+    idx_root = tempfile.mkdtemp(prefix="bench_ann_")
+    idx = idx_root + "/idx"
     dim = len(qvec)
-    timed("ann_index_build", lambda: build_ann_index(spark, emb, idx, dim=dim, bits=8))
-    timed(
-        "ann_topk_indexed",
-        lambda: ann_topk_indexed(spark, idx, qvec, 10, bits=8, probe_hamming=1).collect(),
-    )
+    try:
+        # exclude the query vector itself, mirroring similarity_topk —
+        # otherwise the indexed query answers a different (easier) question
+        timed(
+            "ann_index_build",
+            lambda: build_ann_index(
+                spark, emb.where(F.col("vec_id") != 0), idx, dim=dim, bits=8
+            ),
+        )
+        timed(
+            "ann_topk_indexed",
+            lambda: ann_topk_indexed(
+                spark, idx, qvec, 10, bits=8, probe_hamming=1
+            ).collect(),
+        )
+    finally:
+        shutil.rmtree(idx_root, ignore_errors=True)
 
     total = round(sum(queries.values()), 3)
     print(

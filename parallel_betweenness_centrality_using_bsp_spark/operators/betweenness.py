@@ -419,9 +419,11 @@ def prepare_csr(
         import logging
 
         logging.getLogger(__name__).warning(
-            "CSR will occupy ~%.1f GB per executor (%d edges); ensure executor "
-            "memory covers it or switch to betweenness_bsp / source sampling",
-            csr_gb, art.n_edges,
+            "CSR will occupy ~%.1f GB PER PYTHON WORKER (%d edges) — each "
+            "concurrent task slot's worker caches its own copy, so budget "
+            "~%.1f GB x slots per executor, or switch to betweenness_bsp / "
+            "source sampling",
+            csr_gb, art.n_edges, csr_gb,
         )
     return art, list(range(art.n))
 

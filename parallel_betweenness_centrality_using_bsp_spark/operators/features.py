@@ -33,7 +33,9 @@ def deterministic_sample(
     bucket = md5_token_value(
         F.concat_ws(":", F.lit(salt), F.col(key_col).cast("string"))
     ) % F.lit(buckets)
-    return df.where(bucket < int(fraction * buckets))
+    # round, not int(): 0.57 * 10000 is 5699.999... in binary — truncation
+    # would shift the split boundary away from the exact threshold
+    return df.where(bucket < round(fraction * buckets))
 
 
 def tf_idf_terms(
@@ -55,13 +57,16 @@ def tf_idf_terms(
             F.regexp_extract_all(F.lower(F.trim(F.col(text_col))), F.lit(r"\S+"), 0)
         ).alias("term"),
     )
-    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = (
-        toks.dropDuplicates(["doc_id", "term"])
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).alias("dfq"))
+    # ONE tokenize pass: tf is already one row per (doc, term), so both the
+    # document frequency and the corpus size derive from the (much smaller)
+    # materialized tf relation instead of re-scanning the corpus twice more.
+    tf = (
+        toks.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)
     )
-    nd = toks.agg(F.countDistinct("doc_id").cast("double").alias("nd"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dfq"))
+    nd = tf.agg(F.countDistinct("doc_id").cast("double").alias("nd"))
     return (
         tf.join(dfreq, "term")
         .join(F.broadcast(nd))

@@ -78,6 +78,14 @@ def pagerank(
         pers = spark.createDataFrame(
             [(v, 1.0 / len(seeds)) for v in seeds], "vertex long, t double"
         )
+        # a seed absent from the graph would silently drop teleport mass and
+        # break the Σ pr == 1 invariant — fail loudly instead
+        matched = vertices.join(F.broadcast(pers), "vertex", "left_semi").count()
+        if matched != len(seeds):
+            raise ValueError(
+                f"personalize contains {len(seeds) - matched} vertex id(s) "
+                "not present in the graph"
+            )
         tele = vertices.join(F.broadcast(pers), "vertex", "left").select(
             "vertex", F.coalesce("t", F.lit(0.0)).alias("t")
         )
@@ -141,4 +149,5 @@ def pagerank(
     edges_w.unpersist()
     vertices.unpersist()
     dangling.unpersist()
+    tele.unpersist()
     return run

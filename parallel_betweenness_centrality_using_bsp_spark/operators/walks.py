@@ -78,6 +78,10 @@ def random_walks(
                 & (F.col("_choice") == F.col(f"_a{k}.idx")),
             )
             .select("walk_id", F.col(f"_a{k}.dst").alias("v"))
+            # materialize each step: without this the final union's arm k
+            # nests all k prior joins — O(len²) plan growth and re-executed
+            # walk prefixes at DeepWalk-typical lengths (40+)
+            .localCheckpoint(eager=True)
         )
         out = out.unionByName(
             state.select("walk_id", F.lit(k).alias("pos"), F.col("v").alias("vertex"))
