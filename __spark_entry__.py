@@ -791,6 +791,30 @@ def graph_neighbor_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SSSP_HOPS = 8
+
+
+def graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted SSSP (Bellman-Ford supersteps) from sources {v < 8} with
+    deterministic integer weights w = (src+dst) % 7 + 1 (symmetric), run
+    exactly 8 relaxation rounds — the oracle computes the identical
+    min-cost-over-≤8-hop-paths quantity with a recursive CTE."""
+    from parallel_betweenness_centrality_using_bsp_spark.operators.sssp import sssp
+
+    e = _order_edges(spark, sf_dir).select(
+        "src", "dst", ((F.col("src") + F.col("dst")) % 7 + 1).alias("w")
+    )
+    verts = (
+        e.select(F.col("src").alias("vertex"))
+        .unionByName(e.select(F.col("dst").alias("vertex")))
+        .distinct()
+    )
+    sources = sorted(r["vertex"] for r in verts.where(F.col("vertex") < 8).collect())
+    return sssp(
+        spark, e, sources, max_hops=SSSP_HOPS, early_stop=False
+    ).orderBy("source", "vertex")
+
+
 def dedup_kept_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end exact dedup: rows kept after dropping normalized-text
     duplicates (min doc_id kept per group)."""
@@ -1212,6 +1236,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_labelprop3": graph_labelprop3,
         "graph_betweenness": graph_betweenness,
         "graph_bfs_dist": graph_bfs_dist,
+        "graph_sssp": graph_sssp,
         "graph_neighbor_features": graph_neighbor_features,
         "graph_random_walks": graph_random_walks,
         "dedup_kept_count": dedup_kept_count,
@@ -1492,6 +1517,20 @@ def oracle_sql() -> dict[str, str]:
                 WHERE w.d < {BC_MAX_DEPTH}
             )
             SELECT s AS source, v AS vertex, min(d)::INT AS dist
+            FROM walk GROUP BY s, v ORDER BY source, vertex
+        """,
+        "graph_sssp": f"""
+            WITH RECURSIVE {_EDGES_SQL},
+            wund AS (SELECT src, dst, (src + dst) % 7 + 1 AS w FROM und),
+            src AS (SELECT vertex AS s FROM vertices WHERE vertex < 8),
+            walk(s, v, d, hops) AS (
+                SELECT s, s, 0::BIGINT, 0 FROM src
+                UNION
+                SELECT w.s, u.dst, w.d + u.w, w.hops + 1
+                FROM walk w JOIN wund u ON u.src = w.v
+                WHERE w.hops < {SSSP_HOPS}
+            )
+            SELECT s AS source, v AS vertex, min(d) AS dist
             FROM walk GROUP BY s, v ORDER BY source, vertex
         """,
         "graph_random_walks": _random_walks_sql(),

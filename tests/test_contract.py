@@ -51,6 +51,7 @@ SUBSET = [
     "graph_labelprop3",
     "graph_betweenness",
     "graph_bfs_dist",
+    "graph_sssp",
     "dedup_kept_count",
 ]
 
