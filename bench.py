@@ -103,6 +103,11 @@ def main() -> None:
         res_csr.edges_traversed / queries["betweenness_csr_64src"], 1
     )
 
+    from parallel_betweenness_centrality_using_bsp_spark.operators.sssp import sssp as _sssp
+
+    we = g.select("src", "dst", ((F.col("src") + F.col("dst")) % 7 + 1).alias("w"))
+    timed("sssp_8src", lambda: _sssp(spark, we, list(range(8)), max_hops=30).count())
+
     res_bsp = timed(
         "betweenness_bsp_4src",
         lambda: betweenness_bsp(
