@@ -791,6 +791,67 @@ def graph_neighbor_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def graph_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled harmonic centrality: h(v) = Σ_{s ∈ sample, s ≠ v} 1/d(s, v)
+    over the source sample {s < 8} — the standard estimator shape (same
+    sampling rationale as betweenness); reuses the BFS kernel, oracle =
+    the recursive-CTE BFS with the same 1/d aggregation."""
+    from parallel_betweenness_centrality_using_bsp_spark.operators.bfs import bfs_distances
+
+    e = _order_edges(spark, sf_dir)
+    verts = (
+        e.select(F.col("src").alias("vertex"))
+        .unionByName(e.select(F.col("dst").alias("vertex")))
+        .distinct()
+    )
+    sources = sorted(r["vertex"] for r in verts.where(F.col("vertex") < 8).collect())
+    d = bfs_distances(spark, e, sources)
+    return (
+        d.where(F.col("dist") > 0)
+        .groupBy("vertex")
+        .agg(F.round(F.sum(F.lit(1.0) / F.col("dist")), 6).alias("harmonic"))
+        .orderBy("vertex")
+    )
+
+
+KCORE_K = 20
+KCORE_ROUNDS = 8
+
+
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core peeling (k=25, exactly 8 rounds — fixed rounds keep the
+    oracle quantity pinned whether or not the cascade has converged):
+    surviving vertices with their degree in the peeled subgraph.  k=20 sits inside the
+    sf0.01 degree range (16-49): 8 rounds peel 27 vertices and 973 survive
+    — a genuine cascade, not a no-op or a collapse."""
+    from parallel_betweenness_centrality_using_bsp_spark.operators.kcore import k_core
+
+    e = _order_edges(spark, sf_dir)
+    return k_core(spark, e, KCORE_K, fixed_rounds=KCORE_ROUNDS).orderBy("vertex")
+
+
+def _kcore_sql() -> str:
+    # AS MATERIALIZED throughout: DuckDB inlines plain CTEs, and each round
+    # references the previous one three times (directly + twice via k_i), so
+    # un-materialized rounds expand 3^R-fold
+    parts = [f"WITH {_EDGES_SQL},", "\n  e0 AS MATERIALIZED (SELECT src, dst FROM und)"]
+    for i in range(1, KCORE_ROUNDS + 1):
+        parts.append(
+            f""",
+  k{i} AS MATERIALIZED (SELECT src FROM e{i - 1} GROUP BY src HAVING count(*) >= {KCORE_K}),
+  e{i} AS MATERIALIZED (SELECT e.src, e.dst FROM e{i - 1} e
+           JOIN k{i} a ON a.src = e.src JOIN k{i} b ON b.src = e.dst)
+"""
+        )
+    parts.append(
+        f"""
+SELECT src AS vertex, count(*) AS deg FROM e{KCORE_ROUNDS}
+GROUP BY src ORDER BY vertex
+"""
+    )
+    return "".join(parts)
+
+
 SSSP_HOPS = 8
 
 
@@ -1237,6 +1298,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_betweenness": graph_betweenness,
         "graph_bfs_dist": graph_bfs_dist,
         "graph_sssp": graph_sssp,
+        "graph_harmonic": graph_harmonic,
+        "graph_kcore": graph_kcore,
         "graph_neighbor_features": graph_neighbor_features,
         "graph_random_walks": graph_random_walks,
         "dedup_kept_count": dedup_kept_count,
@@ -1518,6 +1581,20 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT s AS source, v AS vertex, min(d)::INT AS dist
             FROM walk GROUP BY s, v ORDER BY source, vertex
+        """,
+        "graph_kcore": _kcore_sql(),
+        "graph_harmonic": f"""
+            WITH RECURSIVE {_EDGES_SQL},
+            src AS (SELECT vertex AS s FROM vertices WHERE vertex < 8),
+            walk(s, v, d) AS (
+                SELECT s, s, 0 FROM src
+                UNION
+                SELECT w.s, u.dst, w.d + 1 FROM walk w JOIN und u ON u.src = w.v
+                WHERE w.d < {BC_MAX_DEPTH}
+            ),
+            dist AS (SELECT s, v, min(d) AS d FROM walk GROUP BY s, v)
+            SELECT v AS vertex, round(sum(1.0 / d), 6) AS harmonic
+            FROM dist WHERE d > 0 GROUP BY v ORDER BY vertex
         """,
         "graph_sssp": f"""
             WITH RECURSIVE {_EDGES_SQL},

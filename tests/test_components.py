@@ -52,3 +52,20 @@ def test_starcontract_rejects_resume(spark):
     e = edge_df(spark, [(0, 1)])
     with pytest.raises(ValueError, match="starcontract"):
         connected_components(spark, e, algorithm="starcontract", start_step=3)
+
+
+def test_k_core_matches_networkx(spark):
+    import networkx as nx
+
+    from parallel_betweenness_centrality_using_bsp_spark.operators.kcore import k_core
+    from parallel_betweenness_centrality_using_bsp_spark.sources.graphs import edge_df
+
+    from tests.oracles import ba_graph
+
+    edges = ba_graph(n=150, m=3, seed=7)
+    got = {r["vertex"]: r["deg"] for r in k_core(spark, edge_df(spark, edges), k=4).collect()}
+    g = nx.Graph()
+    g.add_edges_from(edges)
+    core = nx.k_core(g, 4)
+    assert set(got) == set(core.nodes())
+    assert got == dict(core.degree())

@@ -52,6 +52,7 @@ SUBSET = [
     "graph_betweenness",
     "graph_bfs_dist",
     "graph_sssp",
+    "graph_harmonic",
     "dedup_kept_count",
 ]
 
