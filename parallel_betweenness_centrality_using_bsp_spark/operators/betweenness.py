@@ -115,11 +115,18 @@ def betweenness_bsp(
     batch_size: int = 64,
     num_partitions: int | None = None,
     return_state: bool = False,
+    estimate: bool = False,
 ) -> BetweennessResult:
     """Exact Brandes over the given sources (default: every vertex,
-    streamed batch-by-batch from the vertices DataFrame)."""
+    streamed batch-by-batch from the vertices DataFrame).
+
+    ``estimate=True`` scales the sampled partial sums by n/|sources| — the
+    Brandes & Pich (2007) estimator of FULL betweenness from a source
+    sample (unbiased for a uniform sample; identical to exact when the
+    sample is every vertex)."""
     t0 = time.monotonic()
     e, vertices, _p = _prep(spark, edges, directed, num_partitions)
+    n_sources = 0
 
     bc_acc: DataFrame | None = None
     state_acc: DataFrame | None = None
@@ -127,6 +134,7 @@ def betweenness_bsp(
     total_edges_traversed = 0
 
     for batch in _source_batches(vertices, sources, batch_size):
+        n_sources += len(batch)
         src_df = spark.createDataFrame([(s,) for s in batch], "source long")
 
         # ---- forward phase: multi-source BFS, one level per superstep ----
@@ -230,6 +238,8 @@ def betweenness_bsp(
             lv.unpersist()
 
     scale = 1.0 if directed else 0.5
+    if estimate:
+        scale *= vertices.count() / max(n_sources, 1)
     bc = (
         vertices.join(bc_acc, "vertex", "left")
         .select(
@@ -486,23 +496,31 @@ def betweenness_csr(
     sources: list[int] | None = None,
     directed: bool = False,
     num_partitions: int | None = None,
+    estimate: bool = False,
 ) -> BetweennessResult:
     """Executor-built-CSR Brandes, parallel over sources via mapInPandas.
 
     Requires dense vertex ids 0..n-1 (run ``densify_vertices`` first) and a
     graph whose CSR fits in executor memory (10^9 edges ≈ 8 GB — beyond
-    that, use ``betweenness_bsp`` or sample sources).
+    that, use ``betweenness_bsp`` or sample sources).  ``estimate=True``
+    scales sampled partial sums by n/|sources| (Brandes & Pich 2007).
     """
     t0 = time.monotonic()
     art, default_sources = prepare_csr(spark, edges, directed=directed)
+    use_sources = sources if sources is not None else default_sources
     try:
         res = betweenness_csr_sweep(
             spark,
             art,
-            sources if sources is not None else default_sources,
+            use_sources,
             directed=directed,
             num_partitions=num_partitions,
         )
+        if estimate and use_sources:
+            factor = art.n / len(use_sources)
+            res.bc = res.bc.select(
+                "vertex", (F.col("bc") * F.lit(factor)).alias("bc")
+            ).localCheckpoint(eager=True)
     finally:
         # the sweep eagerly checkpoints bc, so the artifact is disposable
         art.cleanup()

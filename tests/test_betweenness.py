@@ -98,3 +98,20 @@ def test_source_sampling_partial_sums_agree(spark):
     a = df_to_dict(betweenness_bsp(spark, edge_df(spark, edges), sources=sources).bc, "vertex", "bc")
     b = df_to_dict(betweenness_csr(spark, edge_df(spark, edges), sources=sources).bc, "vertex", "bc")
     assert_scores_close(a, b)
+
+
+def test_estimator_scaling(spark):
+    """Brandes-Pich estimate with the FULL source set equals exact bc, and a
+    half sample scales partial sums by exactly n/|S|."""
+    edges = er_graph(n=50, p=0.1, seed=8)
+    want = oracle_betweenness(edges)
+    full = betweenness_csr(spark, edge_df(spark, edges), estimate=True)
+    assert_scores_close(df_to_dict(full.bc, "vertex", "bc"), want)
+    sample = [0, 10, 20, 30, 40]
+    est = betweenness_csr(spark, edge_df(spark, edges), sources=sample, estimate=True)
+    raw = betweenness_csr(spark, edge_df(spark, edges), sources=sample)
+    e_d, r_d = df_to_dict(est.bc, "vertex", "bc"), df_to_dict(raw.bc, "vertex", "bc")
+    # the dense-id contract counts n as max_id + 1 (isolated ids included)
+    n = max(v for e in edges for v in e) + 1
+    for v in e_d:
+        assert abs(e_d[v] - r_d[v] * n / len(sample)) < 1e-9

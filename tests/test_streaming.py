@@ -116,3 +116,43 @@ def test_stream_sessionization_matches_batch(spark, tmp_path):
         for r in spark.sql("SELECT * FROM sess_out").collect()
     }
     assert got == want_closed
+
+
+def test_stream_exact_dedup_emits_first_occurrence_only(spark, tmp_path):
+    """Duplicates arriving across micro-batches are dropped by the
+    watermarked streaming dedup; exactly one row per fingerprint survives."""
+    import datetime
+
+    from parallel_betweenness_centrality_using_bsp_spark.streaming.dedup import stream_exact_dedup
+
+    base = datetime.datetime(2024, 1, 1)
+    schema = "doc_id long, ts timestamp, text string"
+    b1 = spark.createDataFrame(
+        [(0, base, "alpha text"), (1, base, "beta text"), (2, base, "Alpha   TEXT")],
+        schema,
+    )
+    b2 = spark.createDataFrame(
+        [(3, base + datetime.timedelta(minutes=5), "beta text"),
+         (4, base + datetime.timedelta(minutes=5), "gamma text")],
+        schema,
+    )
+    src = str(tmp_path / "src")
+    b1.coalesce(1).write.parquet(src)
+    b2.coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    q = (
+        stream_exact_dedup(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("SELECT * FROM dedup_out").collect()
+    fps = [r["fp"] for r in rows]
+    assert len(fps) == len(set(fps)) == 3  # alpha (normalized dup dropped), beta, gamma
+    texts = {r["text"] for r in rows}
+    assert "gamma text" in texts and len({t.lower().split()[0] for t in texts}) == 3
