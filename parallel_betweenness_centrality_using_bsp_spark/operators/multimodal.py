@@ -103,6 +103,48 @@ def extract_features(df: DataFrame, mode: str = "fake") -> DataFrame:
     return df.mapInPandas(batches, FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = (
+    "asset_id long, media_type string, width int, height int, data binary"
+)
+
+
+def resize_media(df: DataFrame, max_side: int = 256, mode: str = "fake") -> DataFrame:
+    """Resize step (image thumbnailing / audio downsampling stand-in):
+    scales (width, height) to fit ``max_side`` preserving aspect ratio.
+    mode="real" is the Pillow/ffmpeg integration point (absent in this
+    container); mode="fake" performs the real metadata arithmetic and a
+    deterministic payload truncation proportional to the area ratio, so
+    schema, Arrow batching and downstream size accounting are exercised."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if mode == "real":
+                raise NotImplementedError(
+                    "real resizing requires Pillow/ffmpeg; plug them in here"
+                )
+            w = pdf["width"].astype("int64")
+            h = pdf["height"].astype("int64")
+            scale = (max_side / np.maximum(w, h)).clip(upper=1.0)
+            nw = np.maximum((w * scale).astype("int64"), 1)
+            nh = np.maximum((h * scale).astype("int64"), 1)
+            ratio = (nw * nh) / (w * h)
+            data = [
+                bytes(d)[: max(1, int(len(d) * r))]
+                for d, r in zip(pdf["data"], ratio)
+            ]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "media_type": pdf["media_type"],
+                    "width": nw.astype("int32"),
+                    "height": nh.astype("int32"),
+                    "data": data,
+                }
+            )
+
+    return df.mapInPandas(batches, RESIZED_SCHEMA)
+
+
 def sample_frames(df: DataFrame, every_n_bytes: int = 32, max_frames: int = 4) -> DataFrame:
     """Frame sampling for video rows: deterministic byte-window 'frames'
     (the ffmpeg keyframe-sampling stand-in); non-video rows pass through

@@ -49,3 +49,28 @@ def test_frame_sampling(spark):
             assert sorted(idxs) == [0, 1, 2, 3]
         else:
             assert idxs == [0]
+
+
+def test_resize_media_fake(spark):
+    from parallel_betweenness_centrality_using_bsp_spark.operators.multimodal import (
+        resize_media,
+        synth_assets,
+    )
+
+    assets = synth_assets(spark, n=20, seed=1)
+    before = {r["asset_id"]: (r["width"], r["height"], len(r["data"]))
+              for r in assets.collect()}
+    out = {r["asset_id"]: (r["width"], r["height"], len(r["data"]))
+           for r in resize_media(assets, max_side=64).collect()}
+    assert set(out) == set(before)
+    for aid, (w, h, nb) in out.items():
+        bw, bh, bnb = before[aid]
+        assert max(w, h) <= 64 and w >= 1 and h >= 1
+        assert nb <= bnb  # payload shrinks with area
+        # aspect ratio preserved within integer rounding
+        if bw >= bh:
+            assert abs(w / h - bw / bh) < 0.2
+    import pytest
+
+    with pytest.raises(Exception):
+        resize_media(assets, mode="real").collect()
