@@ -876,6 +876,22 @@ def graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source", "vertex")
 
 
+def graph_neighbor_features_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two message-passing layers: hop 2 averages the in-neighbors' hop-1
+    means (the GraphSAGE layer stack), first 4 dims."""
+    from parallel_betweenness_centrality_using_bsp_spark.operators.features import (
+        k_hop_feature_means,
+    )
+
+    e = _order_edges(spark, sf_dir)
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        k_hop_feature_means(e, emb, hops=2, dims=4)
+        .select("vertex", "pos", F.round("nbr_mean", 6).alias("nbr_mean"))
+        .orderBy("vertex", "pos")
+    )
+
+
 def dedup_kept_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end exact dedup: rows kept after dropping normalized-text
     duplicates (min doc_id kept per group)."""
@@ -1301,6 +1317,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_harmonic": graph_harmonic,
         "graph_kcore": graph_kcore,
         "graph_neighbor_features": graph_neighbor_features,
+        "graph_neighbor_features_2hop": graph_neighbor_features_2hop,
         "graph_random_walks": graph_random_walks,
         "dedup_kept_count": dedup_kept_count,
         # multimodal
@@ -1609,6 +1626,19 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT s AS source, v AS vertex, min(d) AS dist
             FROM walk GROUP BY s, v ORDER BY source, vertex
+        """,
+        "graph_neighbor_features_2hop": f"""
+            WITH {_EDGES_SQL},
+            f AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            ex AS (SELECT e.dst AS vertex, g.i - 1 AS pos, f.v[g.i] AS val
+                   FROM edges e JOIN f ON f.vec_id = e.src
+                   CROSS JOIN generate_series(1, 4) AS g(i)),
+            h1 AS (SELECT vertex, pos, avg(val) AS m FROM ex GROUP BY vertex, pos),
+            h2 AS (SELECT e.dst AS vertex, h1.pos, avg(h1.m) AS m
+                   FROM edges e JOIN h1 ON h1.vertex = e.src
+                   GROUP BY e.dst, h1.pos)
+            SELECT vertex, pos, round(m, 6) AS nbr_mean
+            FROM h2 ORDER BY vertex, pos
         """,
         "graph_random_walks": _random_walks_sql(),
         "graph_neighbor_features": f"""

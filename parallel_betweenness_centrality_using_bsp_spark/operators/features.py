@@ -107,3 +107,36 @@ def neighbor_feature_means(
         .groupBy(F.col("dst").alias("vertex"), "pos")
         .agg(F.avg("val").alias("nbr_mean"))
     )
+
+
+def k_hop_feature_means(
+    edges: DataFrame,
+    features: DataFrame,
+    *,
+    hops: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int | None = None,
+) -> DataFrame:
+    """Iterated neighbor aggregation (GNN message passing): hop i averages
+    the in-neighbors' hop-(i-1) means — nested means, the GraphSAGE layer
+    stack, NOT a flat mean over the k-hop ball.  Same long layout and plan
+    shape per hop; state is checkpointed between hops so plan depth stays
+    O(1)."""
+    state = neighbor_feature_means(
+        edges, features, id_col=id_col, vec_col=vec_col, dims=dims
+    )
+    for _ in range(hops - 1):
+        state = state.localCheckpoint(eager=True)
+        state = (
+            edges.select("src", "dst")
+            .join(
+                state.select(
+                    F.col("vertex").alias("src"), "pos", F.col("nbr_mean").alias("val")
+                ),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("vertex"), "pos")
+            .agg(F.avg("val").alias("nbr_mean"))
+        )
+    return state

@@ -47,6 +47,7 @@ SUBSET = [
     "graph_pagerank5",
     "graph_ppr5",
     "graph_neighbor_features",
+    "graph_neighbor_features_2hop",
     "graph_random_walks",
     "graph_labelprop3",
     "graph_betweenness",
