@@ -852,6 +852,28 @@ GROUP BY src ORDER BY vertex
     return "".join(parts)
 
 
+def graph_eccentricity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled eccentricity: ecc(s) = max_v d(s, v) per sampled source
+    (max over the reached set) plus the count reached — the
+    diameter-lower-bound estimator (max ecc over any sample ≤ diameter);
+    reuses the BFS kernel and its recursive-CTE oracle."""
+    from parallel_betweenness_centrality_using_bsp_spark.operators.bfs import bfs_distances
+
+    e = _order_edges(spark, sf_dir)
+    verts = (
+        e.select(F.col("src").alias("vertex"))
+        .unionByName(e.select(F.col("dst").alias("vertex")))
+        .distinct()
+    )
+    sources = sorted(r["vertex"] for r in verts.where(F.col("vertex") < 8).collect())
+    d = bfs_distances(spark, e, sources)
+    return (
+        d.groupBy("source")
+        .agg(F.max("dist").alias("ecc"), F.count(F.lit(1)).alias("n_reached"))
+        .orderBy("source")
+    )
+
+
 SSSP_HOPS = 8
 
 
@@ -1315,6 +1337,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_bfs_dist": graph_bfs_dist,
         "graph_sssp": graph_sssp,
         "graph_harmonic": graph_harmonic,
+        "graph_eccentricity": graph_eccentricity,
         "graph_kcore": graph_kcore,
         "graph_neighbor_features": graph_neighbor_features,
         "graph_neighbor_features_2hop": graph_neighbor_features_2hop,
@@ -1600,6 +1623,19 @@ def oracle_sql() -> dict[str, str]:
             FROM walk GROUP BY s, v ORDER BY source, vertex
         """,
         "graph_kcore": _kcore_sql(),
+        "graph_eccentricity": f"""
+            WITH RECURSIVE {_EDGES_SQL},
+            src AS (SELECT vertex AS s FROM vertices WHERE vertex < 8),
+            walk(s, v, d) AS (
+                SELECT s, s, 0 FROM src
+                UNION
+                SELECT w.s, u.dst, w.d + 1 FROM walk w JOIN und u ON u.src = w.v
+                WHERE w.d < {BC_MAX_DEPTH}
+            ),
+            dist AS (SELECT s, v, min(d) AS d FROM walk GROUP BY s, v)
+            SELECT s AS source, max(d)::INT AS ecc, count(*) AS n_reached
+            FROM dist GROUP BY s ORDER BY source
+        """,
         "graph_harmonic": f"""
             WITH RECURSIVE {_EDGES_SQL},
             src AS (SELECT vertex AS s FROM vertices WHERE vertex < 8),

@@ -54,6 +54,7 @@ SUBSET = [
     "graph_bfs_dist",
     "graph_sssp",
     "graph_harmonic",
+    "graph_eccentricity",
     "dedup_kept_count",
 ]
 
