@@ -107,6 +107,8 @@ def test_estimator_scaling(spark):
     want = oracle_betweenness(edges)
     full = betweenness_csr(spark, edge_df(spark, edges), estimate=True)
     assert_scores_close(df_to_dict(full.bc, "vertex", "bc"), want)
+    full_bsp = betweenness_bsp(spark, edge_df(spark, edges), estimate=True)
+    assert_scores_close(df_to_dict(full_bsp.bc, "vertex", "bc"), want)
     sample = [0, 10, 20, 30, 40]
     est = betweenness_csr(spark, edge_df(spark, edges), sources=sample, estimate=True)
     raw = betweenness_csr(spark, edge_df(spark, edges), sources=sample)
