@@ -1,6 +1,8 @@
 import networkx as nx
+from pyspark.sql import functions as F
 
-from parallel_betweenness_centrality_using_bsp_spark.operators.sssp import sssp
+from parallel_betweenness_centrality_using_bsp_spark.operators.sssp import sssp, sssp_run
+from parallel_betweenness_centrality_using_bsp_spark.plans.superstep import latest_checkpoint
 
 from tests.oracles import er_graph
 
@@ -36,3 +38,52 @@ def test_sssp_bounded_hops(spark):
     two = {r["vertex"]: r["dist"]
            for r in sssp(spark, e, [0], max_hops=2, early_stop=False).collect()}
     assert one[2] == 10 and two[2] == 2
+
+
+def test_sssp_long_chain_frontier_stays_sparse(spark):
+    # P200: 0-1-2-…-199, unit weights.  Dense Bellman-Ford re-aggregates all
+    # 200 state rows every round; the frontier form must touch exactly ONE
+    # improved row per round regardless of how much state has accumulated —
+    # the flat-per-round-cost property that makes long diameters affordable.
+    n = 200
+    e = spark.createDataFrame(
+        [(i, i + 1, 1) for i in range(n - 1)], "src long, dst long, w long"
+    )
+    sizes: list[int] = []
+    run = sssp_run(
+        spark, e, [0], max_hops=n + 20, early_stop=True,
+        count_rows=False, frontier_sizes=sizes,
+    )
+    assert run.converged
+    got = {r["vertex"]: r["dist"] for r in run.state.collect()}
+    assert got == {v: v for v in range(n)}
+    # 199 propagating rounds + 1 empty-improvement round to detect the fixpoint
+    assert run.supersteps == n
+    assert sizes == [1] * n
+
+
+def test_sssp_resume_mid_iteration(spark, tmp_path):
+    edges = er_graph(n=60, p=0.08, seed=11)
+    e, _ = _weighted(spark, edges)
+    ckpt = str(tmp_path / "ck")
+
+    full = sssp(spark, e, [0, 3], max_hops=6, early_stop=False)
+    want = {(r["source"], r["vertex"]): r["dist"] for r in full.collect()}
+
+    # crash after 3 rounds, then resume from the newest complete checkpoint
+    sssp_run(
+        spark, e, [0, 3], max_hops=3, early_stop=False,
+        checkpoint_dir=ckpt, run_id="r", count_rows=False,
+    )
+    step, state = latest_checkpoint(spark, ckpt, "sssp", "r")
+    assert step == 3
+    resumed = sssp_run(
+        spark, e, [0, 3], max_hops=3, early_stop=False,
+        checkpoint_dir=ckpt, run_id="r",
+        resume_state=state, start_step=step, count_rows=False,
+    )
+    got = {
+        (r["source"], r["vertex"]): r["dist"]
+        for r in resumed.state.select("source", "vertex", "dist").collect()
+    }
+    assert got == want
