@@ -69,3 +69,39 @@ def test_k_core_matches_networkx(spark):
     core = nx.k_core(g, 4)
     assert set(got) == set(core.nodes())
     assert got == dict(core.degree())
+
+
+def test_k_core_resume_mid_peel(spark, tmp_path):
+    from parallel_betweenness_centrality_using_bsp_spark.operators.kcore import k_core, k_core_run
+    from parallel_betweenness_centrality_using_bsp_spark.plans.superstep import latest_checkpoint
+    from parallel_betweenness_centrality_using_bsp_spark.sources.graphs import edge_df
+
+    from tests.oracles import ba_graph
+
+    edges = ba_graph(n=120, m=3, seed=5)
+    e = edge_df(spark, edges)
+    ckpt = str(tmp_path / "ck")
+
+    want = sorted(
+        map(tuple, k_core(spark, e, k=4, fixed_rounds=5).collect())
+    )
+
+    # crash after 2 peel rounds, then resume the remaining 3
+    k_core_run(spark, e, k=4, fixed_rounds=2, checkpoint_dir=ckpt, run_id="kc")
+    step, state = latest_checkpoint(spark, ckpt, "kcore", "kc")
+    assert step == 2
+    resumed = k_core_run(
+        spark, e, k=4, fixed_rounds=3, checkpoint_dir=ckpt, run_id="kc",
+        resume_state=state, start_step=step,
+    )
+    from pyspark.sql import functions as F
+
+    got = sorted(
+        map(
+            tuple,
+            resumed.state.groupBy(F.col("src").alias("vertex"))
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .collect(),
+        )
+    )
+    assert got == want

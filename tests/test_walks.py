@@ -1,6 +1,12 @@
 from pyspark.sql import functions as F
 
-from parallel_betweenness_centrality_using_bsp_spark.operators.walks import random_walks
+from parallel_betweenness_centrality_using_bsp_spark.operators.walks import (
+    indexed_adjacency,
+    random_walks,
+    random_walks_run,
+    walk_corpus_from_checkpoints,
+)
+from parallel_betweenness_centrality_using_bsp_spark.plans.superstep import latest_checkpoint
 from parallel_betweenness_centrality_using_bsp_spark.sources.graphs import edge_df
 
 from tests.oracles import er_graph
@@ -33,3 +39,48 @@ def test_walks_stop_at_sinks(spark):
     rows = random_walks(spark, e, starts, walk_length=5, directed=True).collect()
     got = {r["pos"]: r["vertex"] for r in rows}
     assert got == {0: 0, 1: 1, 2: 2}  # no pos 3+: the walk died at the sink
+
+
+def test_walks_resume_mid_walk(spark, tmp_path):
+    edges = er_graph(n=50, p=0.12, seed=9)
+    e = edge_df(spark, edges)
+    starts = spark.createDataFrame([(i,) for i in range(8)], "vertex long")
+    ckpt = str(tmp_path / "ck")
+
+    want = sorted(map(tuple, random_walks(spark, e, starts, walk_length=6).collect()))
+
+    # crash after 2 hops, resume the remaining 4 from the checkpoint
+    random_walks_run(
+        spark, e, starts, walk_length=2, checkpoint_dir=ckpt, run_id="w"
+    )
+    step, state = latest_checkpoint(spark, ckpt, "walks", "w")
+    assert step == 2
+    random_walks_run(
+        spark, e, starts, walk_length=4, checkpoint_dir=ckpt, run_id="w",
+        resume_state=state, start_step=step,
+    )
+    got = sorted(
+        map(tuple, walk_corpus_from_checkpoints(spark, ckpt, "w").collect())
+    )
+    assert got == want
+
+
+def test_indexed_adjacency_salted_matches_unsalted(spark):
+    # one hub (vertex 0) holding most edges — the skew shape the salted
+    # numbering parallelizes; indices must be identical either way
+    edges = [(0, v) for v in range(1, 120)] + [(1, 2), (3, 4), (2, 7)]
+    e = edge_df(spark, edges)
+    plain, _ = indexed_adjacency(e)
+    salted, _ = indexed_adjacency(e, salt_buckets=8)
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+    # the salted window really splits the hub: every (src, bucket) group is
+    # far smaller than the hub degree
+    lo, hi = 1, 119
+    b = salted.withColumn(
+        "_b", F.floor((F.col("dst") - F.lit(lo)) * 8 / F.lit(hi - lo + 1))
+    )
+    sizes = [
+        r["n"]
+        for r in b.groupBy("src", "_b").agg(F.count(F.lit(1)).alias("n")).collect()
+    ]
+    assert max(sizes) <= 20  # 119-degree hub split into ≥8 window groups
