@@ -48,6 +48,14 @@ from parallel_betweenness_centrality_using_bsp_spark.functions.text import finge
 
 log = logging.getLogger(__name__)
 
+# Default LSH bucket cap: 10k rows per bucket bounds any bucket self-join at
+# 10^8 candidate pairs — painful but finite — where an uncapped degenerate
+# bucket (one boilerplate cluster holding 10^6 docs in a 100 TB corpus) is
+# 10^12 pairs, a job-killer.  The production-shaped default is therefore
+# CAPPED; pass ``max_bucket_size=None`` to opt out explicitly.  Drops are
+# always logged (no silent caps).
+DEFAULT_MAX_BUCKET_SIZE = 10_000
+
 
 def cap_buckets(
     df: DataFrame, key_cols: list[str], max_bucket_size: int, what: str
@@ -72,13 +80,20 @@ def cap_buckets(
     stats = over.agg(
         F.count(F.lit(1)).alias("buckets"), F.coalesce(F.sum("_n"), F.lit(0)).alias("rows")
     ).first()
-    if stats["buckets"]:
-        log.warning(
-            "%s: dropped %d oversized LSH bucket(s) totaling %d rows "
-            "(max_bucket_size=%d); candidate pairs within them are NOT emitted",
-            what, stats["buckets"], stats["rows"], max_bucket_size,
-        )
-    return df.join(F.broadcast(over.select(*key_cols)), key_cols, "left_anti")
+    if not stats["buckets"]:
+        # common case: nothing oversized — keep the anti-join out of the
+        # plan entirely instead of joining against an empty set
+        return df
+    log.warning(
+        "%s: dropped %d oversized LSH bucket(s) totaling %d rows "
+        "(max_bucket_size=%d); candidate pairs within them are NOT emitted",
+        what, stats["buckets"], stats["rows"], max_bucket_size,
+    )
+    # no forced broadcast: the oversized-bucket key set is usually tiny, but
+    # a small cap over a skewed corpus can make it arbitrarily large — the
+    # checkpoint gives AQE exact sizes, so it picks broadcast vs shuffle
+    # anti-join itself
+    return df.join(over.select(*key_cols), key_cols, "left_anti")
 
 
 def exact_duplicate_groups(
@@ -114,7 +129,7 @@ def minhash_candidate_pairs(
     bands: int = 16,
     seed: int = 42,
     hash_family: str = "xxhash64",
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
 ) -> DataFrame:
     """(a, b) candidate pairs sharing ≥1 LSH band bucket, a < b, distinct.
 
@@ -122,7 +137,8 @@ def minhash_candidate_pairs(
     ``"md5"`` computes engine-portable signatures (min of md5 hex strings)
     that a DuckDB oracle reproduces exactly — the family the driver's
     value-hash gate runs against.  ``max_bucket_size`` caps degenerate
-    buckets before the self-join (logged, see ``cap_buckets``).
+    buckets before the self-join (logged, see ``cap_buckets``); capped is
+    the default — pass ``None`` to opt out explicitly.
     """
     rows = num_hashes // bands
     shingled = df.select(
@@ -191,7 +207,7 @@ def minhash_dedup_pairs(
     threshold: float = 0.8,
     seed: int = 42,
     hash_family: str = "xxhash64",
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
 ) -> DataFrame:
     """MinHash-LSH candidates, exact-Jaccard verified: (a, b, jaccard)."""
     cand = minhash_candidate_pairs(
@@ -211,7 +227,7 @@ def simhash_dedup_pairs(
     *,
     max_hamming: int = 3,
     hash_family: str = "xxhash64",
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
 ) -> DataFrame:
     """SimHash near-dup pairs: (a, b, hamming ≤ max_hamming).
 

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 from parallel_betweenness_centrality_using_bsp_spark.functions.vectors import cosine
+from parallel_betweenness_centrality_using_bsp_spark.operators.dedup import DEFAULT_MAX_BUCKET_SIZE
 
 
 def brute_force_topk(
@@ -324,13 +325,15 @@ def embedding_neardup_pairs(
     seed: int = 42,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
 ) -> DataFrame:
     """(a, b, cos) pairs with cosine ≥ threshold that share an LSH bucket.
 
     ``max_bucket_size`` caps degenerate buckets before the self-join (a
     bucket holding every near-constant embedding is quadratic otherwise);
     dropped volume is logged — see ``operators.dedup.cap_buckets``.
+    Capped is the production-shaped default; pass ``max_bucket_size=None``
+    to opt out explicitly.
     """
     b = hyperplane_buckets(spark, df, dim=dim, bits=bits, seed=seed, vec_col=vec_col).select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"), "bucket"

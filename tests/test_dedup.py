@@ -102,3 +102,33 @@ def test_bucket_cap_bounds_degenerate_bucket(spark, caplog):
     assert all(a >= 200 for a, _ in pairs)  # degenerate bucket dropped entirely
     assert any("dropped" in r.message and "minhash_candidate_pairs" in r.message
                for r in caplog.records)
+
+
+def test_bucket_cap_is_on_by_default(spark, monkeypatch):
+    """The production-shaped default is CAPPED: calling the LSH pair
+    operators without max_bucket_size must route through cap_buckets with
+    DEFAULT_MAX_BUCKET_SIZE (None is the explicit opt-out)."""
+    from parallel_betweenness_centrality_using_bsp_spark.operators import dedup as dedup_mod
+    from parallel_betweenness_centrality_using_bsp_spark.operators import similarity as sim_mod
+    from parallel_betweenness_centrality_using_bsp_spark.operators.dedup import DEFAULT_MAX_BUCKET_SIZE
+
+    calls = []
+    real = dedup_mod.cap_buckets
+
+    def spy(df, key_cols, max_bucket_size, what):
+        calls.append((what, max_bucket_size))
+        return real(df, key_cols, max_bucket_size, what)
+
+    monkeypatch.setattr(dedup_mod, "cap_buckets", spy)
+
+    df = _docs(spark, [(0, BASE), (1, BASE + " tail")])
+    dedup_mod.minhash_candidate_pairs(df).collect()
+    dedup_mod.simhash_dedup_pairs(df).collect()
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0, 0.5, -0.25]) for i in range(4)],
+        "vec_id long, embedding array<float>",
+    )
+    sim_mod.embedding_neardup_pairs(spark, emb, dim=4).collect()
+    assert ("minhash_candidate_pairs", DEFAULT_MAX_BUCKET_SIZE) in calls
+    assert ("simhash_dedup_pairs", DEFAULT_MAX_BUCKET_SIZE) in calls
+    assert ("embedding_neardup_pairs", DEFAULT_MAX_BUCKET_SIZE) in calls
