@@ -402,14 +402,16 @@ def prepare_csr(
     *,
     directed: bool = False,
     artifact_dir: str | None = None,
-) -> tuple[CsrArtifact, list[int]]:
+) -> tuple[CsrArtifact, DataFrame]:
     """One-off distributed CSR prep: (CsrArtifact, default_sources).
 
     Fully distributed — dedup/symmetrize + max-id run as Spark jobs and the
     edge table is WRITTEN (never collected): the only driver-side values are
     two scalars.  Pass ``artifact_dir`` on a cluster (s3a://…); local mode
     defaults to a tmpdir.  Dense vertex ids 0..n-1 are the contract
-    (``densify_vertices`` first), so the default source set is range(n).
+    (``densify_vertices`` first), so the default source set is
+    ``spark.range(n)`` — a DataFrame, never a driver-side Python list
+    (10^9 vertices would be tens of GB of driver memory as a list).
     """
     e = (
         edges.select("src", "dst").dropDuplicates(["src", "dst"])
@@ -435,13 +437,13 @@ def prepare_csr(
             "source sampling",
             csr_gb, art.n_edges, csr_gb,
         )
-    return art, list(range(art.n))
+    return art, spark.range(art.n).select(F.col("id").alias("source"))
 
 
 def betweenness_csr_sweep(
     spark: SparkSession,
     csr: CsrArtifact,
-    sources: list[int],
+    sources: "DataFrame | list[int]",
     *,
     directed: bool = False,
     num_partitions: int | None = None,
@@ -449,12 +451,23 @@ def betweenness_csr_sweep(
     """The source-parallel sweep over a prepared CSR artifact: each Arrow
     batch of sources runs a vectorized numpy Brandes kernel against the
     worker-cached CSR; partial bc vectors come back sparse and sum in one
-    hash aggregation."""
+    hash aggregation.
+
+    ``sources`` is a DataFrame with one long column (any name — aliased to
+    ``source``), e.g. ``prepare_csr``'s default ``spark.range(n)``, so the
+    source universe never lands on the driver; a small explicitly-sampled
+    Python list is also accepted.
+    """
     t0 = time.monotonic()
     p = num_partitions or spark.sparkContext.defaultParallelism
     n = csr.n
     n_edges = csr.n_edges
-    src_df = spark.createDataFrame([(int(s),) for s in sources], "source long")
+    if isinstance(sources, DataFrame):
+        src_df = sources.select(F.col(sources.columns[0]).cast("long").alias("source"))
+        n_sources = src_df.count()
+    else:
+        src_df = spark.createDataFrame([(int(s),) for s in sources], "source long")
+        n_sources = len(sources)
     # Explicit repartition with a fixed count, NOT groupBy+applyInPandas: the
     # source table is a few KB, so AQE's partition coalescing would merge the
     # tiny shuffle into ONE task and serialize the whole sweep — the cost
@@ -483,8 +496,8 @@ def betweenness_csr_sweep(
     wall = time.monotonic() - t0
     return BetweennessResult(
         bc=bc,
-        supersteps=len(sources),
-        edges_traversed=len(sources) * n_edges,
+        supersteps=n_sources,
+        edges_traversed=n_sources * n_edges,
         wall_s=wall,
     )
 
@@ -493,10 +506,11 @@ def betweenness_csr(
     spark: SparkSession,
     edges: DataFrame,
     *,
-    sources: list[int] | None = None,
+    sources: "DataFrame | list[int] | None" = None,
     directed: bool = False,
     num_partitions: int | None = None,
     estimate: bool = False,
+    artifact_dir: str | None = None,
 ) -> BetweennessResult:
     """Executor-built-CSR Brandes, parallel over sources via mapInPandas.
 
@@ -504,9 +518,15 @@ def betweenness_csr(
     graph whose CSR fits in executor memory (10^9 edges ≈ 8 GB — beyond
     that, use ``betweenness_bsp`` or sample sources).  ``estimate=True``
     scales sampled partial sums by n/|sources| (Brandes & Pich 2007).
+    ``artifact_dir`` is where the CSR parquet artifact lands — REQUIRED to
+    be shared storage (s3a://…, hdfs://…) on a multi-node cluster, since
+    every executor's workers read it; the driver-local tmpdir default only
+    works in local mode.
     """
     t0 = time.monotonic()
-    art, default_sources = prepare_csr(spark, edges, directed=directed)
+    art, default_sources = prepare_csr(
+        spark, edges, directed=directed, artifact_dir=artifact_dir
+    )
     use_sources = sources if sources is not None else default_sources
     try:
         res = betweenness_csr_sweep(
@@ -516,8 +536,8 @@ def betweenness_csr(
             directed=directed,
             num_partitions=num_partitions,
         )
-        if estimate and use_sources:
-            factor = art.n / len(use_sources)
+        if estimate and res.supersteps:
+            factor = art.n / res.supersteps
             res.bc = res.bc.select(
                 "vertex", (F.col("bc") * F.lit(factor)).alias("bc")
             ).localCheckpoint(eager=True)

@@ -92,6 +92,38 @@ def test_state_arrays_match_sequential_brandes(spark):
         assert np.isclose(state[v][2], delta[v], atol=1e-6)
 
 
+def test_csr_default_sources_stay_distributed(spark):
+    """prepare_csr's default source set must be a DataFrame (spark.range),
+    never an O(n) Python list on the driver, and the sweep must accept a
+    sources DataFrame producing the same scores as the list form."""
+    from pyspark.sql import DataFrame
+
+    from parallel_betweenness_centrality_using_bsp_spark.operators.betweenness import (
+        betweenness_csr_sweep,
+        prepare_csr,
+    )
+
+    edges = er_graph(n=80, p=0.06, seed=3)
+    art, default_sources = prepare_csr(spark, edge_df(spark, edges))
+    try:
+        assert isinstance(default_sources, DataFrame)
+        assert default_sources.count() == art.n
+        sample = [0, 7, 21]
+        via_df = betweenness_csr_sweep(
+            spark,
+            art,
+            spark.createDataFrame([(s,) for s in sample], "source long"),
+        )
+        via_list = betweenness_csr_sweep(spark, art, sample)
+        assert via_df.supersteps == via_list.supersteps == len(sample)
+        assert_scores_close(
+            df_to_dict(via_df.bc, "vertex", "bc"),
+            df_to_dict(via_list.bc, "vertex", "bc"),
+        )
+    finally:
+        art.cleanup()
+
+
 def test_source_sampling_partial_sums_agree(spark):
     edges = er_graph(n=80, p=0.06, seed=9)
     sources = [0, 5, 17, 33]
