@@ -281,8 +281,11 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def events_asof_prev(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each purchase event picks the latest same-user event
-    STRICTLY before it — one union + window pass (operators/asof.py), gated
-    against DuckDB's native ASOF JOIN."""
+    STRICTLY before it — gated against DuckDB's native ASOF JOIN.  Runs the
+    skew-safe two-phase plan (ts_buckets=8: per-(key, time-bucket) local
+    windows + a tiny carry window), which is result-identical to the
+    single-window form (operators/asof.py) — the contract exercises the
+    production-shaped path."""
     from parallel_betweenness_centrality_using_bsp_spark.operators.asof import asof_prev
 
     e = _t(spark, sf_dir, "events")
@@ -292,7 +295,7 @@ def events_asof_prev(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     refs = e.select("user_id", us.alias("us"))
     return (
-        asof_prev(anchors, refs, ["user_id"], "us", out_col="prev_us")
+        asof_prev(anchors, refs, ["user_id"], "us", out_col="prev_us", ts_buckets=8)
         .where(F.col("prev_us").isNotNull())
         .select(
             "event_id",
@@ -819,7 +822,7 @@ KCORE_ROUNDS = 8
 
 
 def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """k-core peeling (k=25, exactly 8 rounds — fixed rounds keep the
+    """k-core peeling (k=KCORE_K=20, exactly 8 rounds — fixed rounds keep the
     oracle quantity pinned whether or not the cascade has converged):
     surviving vertices with their degree in the peeled subgraph.  k=20 sits inside the
     sf0.01 degree range (16-49): 8 rounds peel 27 vertices and 973 survive

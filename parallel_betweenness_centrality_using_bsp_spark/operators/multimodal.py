@@ -122,8 +122,11 @@ def resize_media(df: DataFrame, max_side: int = 256, mode: str = "fake") -> Data
                 raise NotImplementedError(
                     "real resizing requires Pillow/ffmpeg; plug them in here"
                 )
-            w = pdf["width"].astype("int64")
-            h = pdf["height"].astype("int64")
+            # real ingests can carry zero/garbage dimensions; clip to ≥1 so a
+            # zero-area row degrades gracefully instead of inf/NaN ratios
+            # failing the whole Arrow batch
+            w = pdf["width"].astype("int64").clip(lower=1)
+            h = pdf["height"].astype("int64").clip(lower=1)
             scale = (max_side / np.maximum(w, h)).clip(upper=1.0)
             nw = np.maximum((w * scale).astype("int64"), 1)
             nh = np.maximum((h * scale).astype("int64"), 1)

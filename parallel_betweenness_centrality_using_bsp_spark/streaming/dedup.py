@@ -20,7 +20,7 @@ dropped duplicates.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from parallel_betweenness_centrality_using_bsp_spark.functions.text import fingerprint
@@ -31,16 +31,24 @@ def stream_exact_dedup(
     *,
     text_col: str = "text",
     ts_col: str = "ts",
+    id_col: str = "doc_id",
     watermark: str = "1 hour",
 ) -> DataFrame:
     """First occurrence per fingerprint within the watermark horizon.
 
     ``docs`` may be a stream (``readStream``) or a batch DataFrame — on a
-    batch input ``dropDuplicatesWithinWatermark`` degrades to plain
-    fingerprint dedup, so the same transform is testable both ways.
+    batch input the EARLIEST (ts, id) row per fingerprint is kept, matching
+    the stream's first-occurrence semantics (a bare ``dropDuplicates``
+    would keep an arbitrary row, so batch and stream could disagree on
+    which doc survives), so the same transform is testable both ways.
     """
     with_fp = docs.withColumn("fp", fingerprint(F.col(text_col)))
     if with_fp.isStreaming:
         with_fp = with_fp.withWatermark(ts_col, watermark)
         return with_fp.dropDuplicatesWithinWatermark(["fp"])
-    return with_fp.dropDuplicates(["fp"])
+    w = Window.partitionBy("fp").orderBy(ts_col, id_col)
+    return (
+        with_fp.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )

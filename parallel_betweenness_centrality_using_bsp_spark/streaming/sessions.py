@@ -92,7 +92,10 @@ def sessionize_batch_sql(gap_minutes: int = SESSION_GAP_MIN_DEFAULT) -> str:
 
 
 def sessionize_stream(
-    events: DataFrame, gap_minutes: int = SESSION_GAP_MIN_DEFAULT
+    events: DataFrame,
+    gap_minutes: int = SESSION_GAP_MIN_DEFAULT,
+    *,
+    watermark_delay: str = "0 seconds",
 ) -> DataFrame:
     """Streaming sessionization over a (possibly unbounded) event stream.
 
@@ -101,22 +104,46 @@ def sessionize_stream(
     threshold, emits them, and stores the open tail.  Rows arriving across
     micro-batches continue the stored session.  Note: like any event-time
     stateful operator, correctness relies on per-key batch-order delivery
-    (file streams deliver in file order) — pair with a watermark-driven
-    timeout to flush idle sessions in production.
+    (file streams deliver in file order).
+
+    Idle sessions FLUSH: each update arms an event-time timeout at
+    ``last event + gap``, so once the watermark (max event time seen minus
+    ``watermark_delay``) passes a user's idle deadline, the open session is
+    emitted and its buffer cleared — an idle user's last session no longer
+    sits in the state store forever.  A (seq, 0, 0, 0) counter row is kept
+    per user after a flush so a later event continues the per-user session
+    numbering exactly like the batch twin (the counter is a few bytes per
+    user — the event buffer itself is always released).
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     gap_us = gap_minutes * 60 * 1_000_000
+    gap_ms = gap_minutes * 60 * 1_000
 
     def fn(key, pdfs, state):
         (user_id,) = key
+
+        if state.hasTimedOut:
+            # watermark passed last_us + gap: the open session is definitively
+            # closed (any still-admissible row would be late beyond the gap)
+            seq, n, start_us, last_us = state.get
+            if n > 0:
+                state.update((seq, 0, 0, 0))  # keep the seq counter only
+                yield pd.DataFrame(
+                    [(user_id, seq, n, start_us, last_us)],
+                    columns=["user_id", "session_seq", "n_events", "start_us", "end_us"],
+                )
+            return
+
         rows = pd.concat(list(pdfs), ignore_index=True)
         rows["_us"] = rows["ts"].astype("int64") // 1000  # ns → µs
         rows = rows.sort_values(["_us", "event_id"], kind="mergesort")
 
         if state.exists:
             seq, n, start_us, last_us = state.get
+            if n == 0:  # counter-only state left by a timeout flush
+                start_us, last_us = None, None
         else:
             seq, n, start_us, last_us = 0, 0, None, None
 
@@ -130,16 +157,19 @@ def sessionize_stream(
             else:
                 n, last_us = n + 1, us
         state.update((seq, n, start_us, last_us))
+        state.setTimeoutTimestamp(last_us // 1000 + gap_ms)
         if closed:
             yield pd.DataFrame(
                 closed,
                 columns=["user_id", "session_seq", "n_events", "start_us", "end_us"],
             )
 
+    if events.isStreaming:
+        events = events.withWatermark("ts", watermark_delay)
     return events.groupBy("user_id").applyInPandasWithState(
         fn,
         _SESSION_OUT_SCHEMA,
         _SESSION_STATE_SCHEMA,
         "append",
-        GroupStateTimeout.NoTimeout,
+        GroupStateTimeout.EventTimeTimeout,
     )

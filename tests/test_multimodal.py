@@ -74,3 +74,21 @@ def test_resize_media_fake(spark):
 
     with pytest.raises(Exception):
         resize_media(assets, mode="real").collect()
+
+
+def test_resize_media_survives_zero_area_rows(spark):
+    """Real ingests can carry zero width/height; such rows must degrade
+    gracefully (clipped to 1px) instead of inf/NaN failing the Arrow batch."""
+    from parallel_betweenness_centrality_using_bsp_spark.operators.multimodal import resize_media
+
+    df = spark.createDataFrame(
+        [(1, "image", 0, 0, bytearray(b"x" * 100)),
+         (2, "image", 0, 500, bytearray(b"y" * 100)),
+         (3, "image", 200, 100, bytearray(b"z" * 100))],
+        "asset_id long, media_type string, width int, height int, data binary",
+    )
+    out = {r["asset_id"]: (r["width"], r["height"], len(r["data"]))
+           for r in resize_media(df, max_side=64).collect()}
+    assert set(out) == {1, 2, 3}
+    for w, h, nb in out.values():
+        assert w >= 1 and h >= 1 and nb >= 1

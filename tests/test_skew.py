@@ -70,6 +70,48 @@ def test_split_by_hubs_partitions_rows(spark):
     assert hub_rows.join(tail_rows, ["src", "dst"], "inner").count() == 0
 
 
+def test_asof_bucketed_matches_plain_under_hot_key(spark):
+    """One key holds 50% of all rows (the hot-key shape that serializes a
+    single window partition); ts_buckets must (a) reproduce the plain
+    answer exactly and (b) bound every (key, bucket) window group far below
+    the hot key's row count."""
+    from parallel_betweenness_centrality_using_bsp_spark.operators.asof import asof_prev
+
+    hot = [(i, 99, 10 * i + (i % 3)) for i in range(2000)]          # key 99: 2000 rows
+    cold = [(10_000 + i, i % 40, 7 * i + 3) for i in range(2000)]   # 40 cold keys
+    anchors = spark.createDataFrame(
+        [(e, k, t) for (e, k, t) in hot + cold if e % 2 == 0],
+        "event_id long, k long, ts long",
+    )
+    refs = spark.createDataFrame(
+        [(k, t) for (e, k, t) in hot + cold if e % 2 == 1], "k long, ts long"
+    )
+    plain = sorted(
+        (r.event_id, r.prev)
+        for r in asof_prev(anchors, refs, ["k"], "ts", out_col="prev").collect()
+    )
+    bucketed = sorted(
+        (r.event_id, r.prev)
+        for r in asof_prev(
+            anchors, refs, ["k"], "ts", out_col="prev", ts_buckets=16
+        ).collect()
+    )
+    assert plain == bucketed
+
+    # per-window-partition bound: the hot key's rows spread over the buckets
+    lo, hi, s = 0, 10 * 1999 + 1, 16
+    span = hi - lo + 1
+    sizes = (
+        anchors.select("k", "ts")
+        .unionByName(refs.select("k", F.col("ts")))
+        .withColumn("_b", F.floor((F.col("ts") - lo) * s / span))
+        .groupBy("k", "_b")
+        .count()
+    )
+    hot_max = sizes.where(F.col("k") == 99).agg(F.max("count")).first()[0]
+    assert hot_max <= 300  # 2000-row hot key split across ~16 groups
+
+
 def test_salted_join_rejects_non_inner(spark):
     import pytest
     from parallel_betweenness_centrality_using_bsp_spark.plans.skew import salted_join

@@ -118,6 +118,93 @@ def test_stream_sessionization_matches_batch(spark, tmp_path):
     assert got == want_closed
 
 
+def test_stream_sessionization_flushes_idle_session_on_watermark(spark, tmp_path):
+    """An idle user's open session must be EMITTED once the watermark passes
+    its idle deadline (last event + gap) — the event-time timeout path.  A
+    later event for the same user continues the per-user session numbering."""
+    import datetime
+
+    from parallel_betweenness_centrality_using_bsp_spark.streaming.events import EVENTS_SCHEMA
+    from parallel_betweenness_centrality_using_bsp_spark.streaming.sessions import sessionize_stream
+
+    base = datetime.datetime(2024, 1, 1)
+    us = lambda t: int(t.timestamp() * 1_000_000)
+    # file 1: user 1 — two events, then idle forever
+    b1 = spark.createDataFrame(
+        [(0, base, 1, "click", 1.0, "{}"),
+         (1, base + datetime.timedelta(minutes=1), 1, "click", 1.0, "{}")],
+        EVENTS_SCHEMA,
+    )
+    # file 2: user 2 far in the future — advances the watermark past user 1's
+    # idle deadline (base + 1min + 30min gap)
+    far = base + datetime.timedelta(hours=3)
+    b2 = spark.createDataFrame([(2, far, 2, "click", 1.0, "{}")], EVENTS_SCHEMA)
+    src = str(tmp_path / "src")
+    b1.coalesce(1).write.parquet(src)
+    b2.coalesce(1).write.mode("append").parquet(src)
+
+    sink = str(tmp_path / "sink")
+
+    def run_once():
+        q = (
+            sessionize_stream(
+                spark.readStream.schema(EVENTS_SCHEMA)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", sink)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    got = {
+        (r.user_id, r.session_seq, r.n_events, r.start_us, r.end_us)
+        for r in spark.read.parquet(sink).collect()
+    }
+    t0, t1 = us(base), us(base + datetime.timedelta(minutes=1))
+    # user 1's idle session flushed; user 2's deadline is beyond the final
+    # watermark, so it stays open in the state store
+    assert got == {(1, 1, 2, t0, t1)}
+
+    # user 1 returns much later: numbering continues at seq 2 (not 1)
+    b3 = spark.createDataFrame(
+        [(3, far + datetime.timedelta(hours=3), 1, "click", 1.0, "{}"),
+         (4, far + datetime.timedelta(hours=6), 3, "click", 1.0, "{}")],
+        EVENTS_SCHEMA,
+    )
+    b3.coalesce(1).write.mode("append").parquet(src)
+    run_once()
+    got2 = {
+        (r.user_id, r.session_seq)
+        for r in spark.read.parquet(sink).collect()
+    }
+    assert (1, 2) in got2  # resumed numbering after the timeout flush
+
+
+def test_batch_dedup_keeps_earliest_occurrence(spark):
+    """The batch branch must keep the earliest (ts, doc_id) row per
+    fingerprint — the stream's first-occurrence semantics."""
+    import datetime
+
+    from parallel_betweenness_centrality_using_bsp_spark.streaming.dedup import stream_exact_dedup
+
+    base = datetime.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(5, base + datetime.timedelta(minutes=9), "same doc"),
+         (2, base, "same doc"),
+         (7, base, "SAME   DOC"),
+         (9, base + datetime.timedelta(minutes=1), "other doc")],
+        "doc_id long, ts timestamp, text string",
+    )
+    kept = {r["doc_id"] for r in stream_exact_dedup(df).collect()}
+    assert kept == {2, 9}  # doc 2 beats 5 (later ts) and 7 (same ts, higher id)
+
+
 def test_stream_exact_dedup_emits_first_occurrence_only(spark, tmp_path):
     """Duplicates arriving across micro-batches are dropped by the
     watermarked streaming dedup; exactly one row per fingerprint survives."""
