@@ -626,6 +626,37 @@ def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SERVING-path ANN under the oracle gate: build the quantized
+    bucket-partitioned index once, then answer the query by reading only
+    the probe buckets' files (partition pruning — plan-tested in
+    tests/test_similarity.py).  Result-identical to ``ann_topk`` (same
+    quantized planes ⇒ same probe set), so the same DuckDB twin gates it;
+    what this row additionally certifies is that the pruned index probe
+    returns the exact same answer as the full scan."""
+    import shutil
+    import tempfile
+
+    from parallel_betweenness_centrality_using_bsp_spark.operators.similarity import (
+        ann_topk_indexed_quantized,
+        build_ann_index_quantized,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    root = tempfile.mkdtemp(prefix="contract_ann_idx_")
+    try:
+        build_ann_index_quantized(
+            spark, e.where(F.col("vec_id") != 0), root + "/idx", dim=len(q), bits=8
+        )
+        out = ann_topk_indexed_quantized(
+            spark, root + "/idx", list(q), k=10, bits=8, probe_hamming=1
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Graph kernels on the order-derived edge table
 # ---------------------------------------------------------------------------
@@ -1328,6 +1359,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_topk": similarity_topk,
         "embedding_neardup_exact": embedding_neardup_exact,
         "ann_topk": ann_topk,
+        "ann_topk_indexed": ann_topk_indexed,
         # graph kernels
         "graph_degree_topk": graph_degree_topk,
         "graph_triangle_count": graph_triangle_count,
@@ -1696,6 +1728,10 @@ def oracle_sql() -> dict[str, str]:
         "minhash_neardup": _minhash_md5_sql(),
         "simhash_neardup": _simhash_md5_sql(),
         "ann_topk": _ann_quantized_sql(),
+        # the indexed serving path answers the identical query (same
+        # quantized planes ⇒ same probe set ⇒ same top-k) — the SQL twin is
+        # shared; the Spark side differs by reading the pruned index
+        "ann_topk_indexed": _ann_quantized_sql(),
         "multimodal_pipeline": """
             WITH assets AS (
                 SELECT range AS id,

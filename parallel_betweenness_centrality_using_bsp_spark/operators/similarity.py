@@ -315,6 +315,50 @@ def ann_topk_quantized(
     return brute_force_topk(cand, query_vec, k, vec_col, id_col)
 
 
+def build_ann_index_quantized(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    *,
+    dim: int,
+    bits: int = 8,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> None:
+    """``build_ann_index`` for the engine-portable quantized family: the
+    bucket assignment is pure JVM HOF arithmetic (no UDF, no broadcast),
+    written ONCE as parquet partitioned by ``bucket`` — the serving-path
+    index whose probe queries read only their buckets' files."""
+    planes = quantized_hyperplanes(dim, bits, seed)
+    b = hyperplane_buckets_quantized(df, planes, vec_col)
+    b.write.mode("overwrite").partitionBy("bucket").parquet(path)
+
+
+def ann_topk_indexed_quantized(
+    spark: SparkSession,
+    index_path: str,
+    query_vec: list[float],
+    k: int = 10,
+    *,
+    bits: int = 8,
+    probe_hamming: int = 1,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """``ann_topk_quantized`` served from a persisted index: identical
+    probe set and result (both sides derive the query bucket from the same
+    quantized planes), but the ``bucket IN (probes)`` filter hits the
+    partition column, so the scan reads ONLY the probe buckets' files
+    (PartitionFilters non-empty — plan-tested).  ``bits``/``seed`` must
+    match ``build_ann_index_quantized``."""
+    planes = quantized_hyperplanes(len(query_vec), bits, seed)
+    idx = spark.read.parquet(index_path)
+    qb = bucket_of_quantized(query_vec, planes)
+    cand = idx.where(F.col("bucket").isin(_probe_set(qb, bits, probe_hamming)))
+    return brute_force_topk(cand, query_vec, k, vec_col, id_col)
+
+
 def embedding_neardup_pairs(
     spark: SparkSession,
     df: DataFrame,

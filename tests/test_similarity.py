@@ -94,6 +94,37 @@ def test_persisted_ann_index_prunes_partitions(spark, tmp_path):
     assert m and "bucket" in m.group(1), plan[:2000]
 
 
+def test_quantized_index_prunes_and_matches_full_scan(spark, tmp_path):
+    """The oracle-gated serving path: the quantized index probe must (a)
+    prune partitions and (b) return exactly the full-scan quantized answer
+    (same planes ⇒ same probe set)."""
+    from parallel_betweenness_centrality_using_bsp_spark.operators.similarity import (
+        ann_topk_indexed_quantized,
+        ann_topk_quantized,
+        build_ann_index_quantized,
+    )
+
+    df, vecs = _vec_df(spark, n=200, dim=16)
+    path = str(tmp_path / "qidx")
+    build_ann_index_quantized(spark, df, path, dim=16, bits=8)
+    top = ann_topk_indexed_quantized(spark, path, vecs[7].tolist(), 5, bits=8, probe_hamming=1)
+    got = [(r["vec_id"], r["cos"]) for r in top.collect()]
+    want = [
+        (r["vec_id"], r["cos"])
+        for r in ann_topk_quantized(
+            spark, df, vecs[7].tolist(), 5, bits=8, probe_hamming=1
+        ).collect()
+    ]
+    assert got == want and 7 in [v for v, _ in got]
+    import re
+
+    plan = top._sc._jvm.PythonSQLUtils.explainString(
+        top._jdf.queryExecution(), "formatted"
+    )
+    m = re.search(r"PartitionFilters: \[(.*?)\]", plan)
+    assert m and "bucket" in m.group(1), plan[:2000]
+
+
 def test_ivf_topk_recall_and_determinism(spark):
     from parallel_betweenness_centrality_using_bsp_spark.operators.similarity import (
         ivf_topk,
