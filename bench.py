@@ -105,8 +105,16 @@ def main() -> None:
 
     from parallel_betweenness_centrality_using_bsp_spark.operators.sssp import sssp as _sssp
 
+    # warm-up + min-of-2, like the CSR kernel: sssp is iterative-job-bound,
+    # so one GC pause or cold scheduler path shouldn't define its number
     we = g.select("src", "dst", ((F.col("src") + F.col("dst")) % 7 + 1).alias("w"))
-    timed("sssp_8src", lambda: _sssp(spark, we, list(range(8)), max_hops=30).count())
+    _sssp(spark, we, [0], max_hops=3, early_stop=False).count()
+    sssp_times = []
+    for _ in range(2):
+        t0 = time.monotonic()
+        _sssp(spark, we, list(range(8)), max_hops=30).count()
+        sssp_times.append(time.monotonic() - t0)
+    queries["sssp_8src"] = round(min(sssp_times), 3)
 
     res_bsp = timed(
         "betweenness_bsp_4src",
