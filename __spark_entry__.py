@@ -908,6 +908,100 @@ def graph_eccentricity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HITS_ITERS = 3
+
+
+def graph_hits3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities, exactly 3 L1-normalized power iterations on
+    the DIRECTED edge set — the oracle unrolls the identical iterations in
+    SQL (the pagerank-oracle pattern), with both normalizing sums computed
+    the same way, so 6-decimal rounding matches."""
+    from parallel_betweenness_centrality_using_bsp_spark.operators.hits import hits
+
+    e = _order_edges(spark, sf_dir)
+    run = hits(spark, e, tol=0.0, max_supersteps=HITS_ITERS, count_rows=False)
+    return run.state.select(
+        "vertex", F.round("hub", 6).alias("hub"), F.round("auth", 6).alias("auth")
+    ).orderBy("vertex")
+
+
+def _hits3_sql() -> str:
+    """HITS_ITERS unrolled iterations matching operators/hits.py exactly:
+    auth' = L1-normalized Aᵀ·hub, then hub' = L1-normalized A·auth'."""
+    parts = [
+        f"WITH {_EDGES_SQL},",
+        """
+  hverts AS (SELECT DISTINCT src AS vertex FROM edges
+             UNION SELECT DISTINCT dst FROM edges),
+  n_h AS (SELECT count(*)::DOUBLE AS n FROM hverts),
+  h0 AS (SELECT vertex, 1.0 / (SELECT n FROM n_h) AS hub FROM hverts)
+""",
+    ]
+    for k in range(1, HITS_ITERS + 1):
+        parts.append(
+            f""",
+  ra{k} AS (SELECT e.dst AS vertex, sum(h.hub) AS ra
+            FROM h{k - 1} h JOIN edges e ON e.src = h.vertex GROUP BY e.dst),
+  sa{k} AS (SELECT sum(ra) AS s FROM ra{k}),
+  a{k} AS (SELECT v.vertex, coalesce(r.ra, 0.0) / (SELECT s FROM sa{k}) AS auth
+           FROM hverts v LEFT JOIN ra{k} r ON r.vertex = v.vertex),
+  rh{k} AS (SELECT e.src AS vertex, sum(a.auth) AS rh
+            FROM a{k} a JOIN edges e ON e.dst = a.vertex GROUP BY e.src),
+  sh{k} AS (SELECT sum(rh) AS s FROM rh{k}),
+  h{k} AS (SELECT v.vertex, coalesce(r.rh, 0.0) / (SELECT s FROM sh{k}) AS hub
+           FROM hverts v LEFT JOIN rh{k} r ON r.vertex = v.vertex)
+"""
+        )
+    parts.append(
+        f"""
+SELECT h.vertex, round(h.hub, 6) AS hub, round(a.auth, 6) AS auth
+FROM h{HITS_ITERS} h JOIN a{HITS_ITERS} a ON a.vertex = h.vertex
+ORDER BY h.vertex
+"""
+    )
+    return "".join(parts)
+
+
+AA_TOPK = 20
+
+
+def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction: top-20 non-adjacent pairs by Adamic-Adar score
+    (Σ 1/ln(deg(w)) over shared neighbors w), with the common-neighbor
+    count — one adjacency self-join on the shared neighbor + a hash agg;
+    ordering on the 6dp-rounded score keeps the top-k cut identical in
+    both engines."""
+    from parallel_betweenness_centrality_using_bsp_spark.operators.linkpred import (
+        adamic_adar_scores,
+    )
+
+    e = _order_edges(spark, sf_dir)
+    return (
+        adamic_adar_scores(e)
+        .select("a", "b", "cn", F.round("aa", 6).alias("aa"))
+        .orderBy(F.desc("aa"), "a", "b")
+        .limit(AA_TOPK)
+    )
+
+
+def _adamic_adar_sql() -> str:
+    return f"""
+WITH {_EDGES_SQL},
+  deg AS (SELECT src AS w, count(*)::BIGINT AS deg FROM und GROUP BY src),
+  wn AS (SELECT u.src AS w, u.dst AS u, d.deg FROM und u JOIN deg d ON d.w = u.src),
+  pairs AS (
+    SELECT l.u AS a, r.u AS b, count(*)::BIGINT AS cn,
+           sum(1.0 / ln(l.deg)) AS aa
+    FROM wn l JOIN wn r ON l.w = r.w AND l.u < r.u
+    GROUP BY l.u, r.u),
+  nonadj AS (
+    SELECT p.* FROM pairs p
+    WHERE NOT EXISTS (SELECT 1 FROM und e WHERE e.src = p.a AND e.dst = p.b))
+SELECT a, b, cn, round(aa, 6) AS aa
+FROM nonadj ORDER BY round(aa, 6) DESC, a, b LIMIT {AA_TOPK}
+"""
+
+
 SSSP_HOPS = 8
 
 
@@ -1371,6 +1465,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_betweenness": graph_betweenness,
         "graph_bfs_dist": graph_bfs_dist,
         "graph_sssp": graph_sssp,
+        "graph_hits3": graph_hits3,
+        "graph_adamic_adar": graph_adamic_adar,
         "graph_harmonic": graph_harmonic,
         "graph_eccentricity": graph_eccentricity,
         "graph_kcore": graph_kcore,
@@ -1712,6 +1808,8 @@ def oracle_sql() -> dict[str, str]:
             FROM h2 ORDER BY vertex, pos
         """,
         "graph_random_walks": _random_walks_sql(),
+        "graph_hits3": _hits3_sql(),
+        "graph_adamic_adar": _adamic_adar_sql(),
         "graph_neighbor_features": f"""
             WITH {_EDGES_SQL},
             f AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -1,0 +1,132 @@
+"""HITS (Kleinberg's hubs & authorities) — power iteration as BSP
+supersteps, the classic link-analysis sibling of PageRank.
+
+Per superstep (one full HITS iteration over the DIRECTED edge set):
+
+    auth'(v) = Σ_{u→v} hub(u)      then L1-normalize (Σ auth' = 1)
+    hub'(u)  = Σ_{u→v} auth'(v)    then L1-normalize (Σ hub'  = 1)
+
+L1 normalization keeps both vectors on the simplex every iteration — an
+exact invariant the tests assert — and both normalizing sums stay IN-PLAN
+as broadcast 1-row aggregates (the pagerank dangling-mass trick: no
+driver-side collect, one Spark job per superstep).
+
+Scale notes:
+  * the edge table is persisted TWICE, partitioned by src (the auth
+    aggregation's build side) and by dst (the hub aggregation's) — each
+    iteration shuffles only the two n-vertex score vectors, never the
+    m-edge table.
+  * runs under ``plans.superstep.superstep_loop``: parquet checkpoints,
+    mid-iteration resume, per-superstep lineage + metrics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from parallel_betweenness_centrality_using_bsp_spark.plans.superstep import SuperstepRun, superstep_loop
+
+
+def hits(
+    spark: SparkSession,
+    edges: DataFrame,
+    *,
+    max_supersteps: int = 20,
+    tol: float = 1e-8,
+    num_partitions: int | None = None,
+    checkpoint_dir: str | None = None,
+    run_id: str | None = None,
+    resume_state: DataFrame | None = None,
+    start_step: int = 0,
+    count_rows: bool = True,
+) -> SuperstepRun:
+    """Returns a run whose state is (vertex long, hub double, auth double)
+    over the directed graph's vertices; Σ hub = Σ auth = 1 after every
+    superstep.  ``tol <= 0`` runs exactly ``max_supersteps`` iterations
+    (the oracle-matched mode); otherwise stops when the L1 delta of both
+    vectors drops below ``tol``.
+    """
+    p = num_partitions or spark.sparkContext.defaultParallelism
+    e = edges.select("src", "dst").dropDuplicates(["src", "dst"])
+    e_src = e.repartition(p, "src").persist()
+    e_dst = e.repartition(p, "dst").persist()
+    e_src.count()
+    e_dst.count()
+
+    vertices = (
+        e.select(F.col("src").alias("vertex"))
+        .unionByName(e.select(F.col("dst").alias("vertex")))
+        .distinct()
+        .repartition(p, "vertex")
+        .persist()
+    )
+    n = vertices.count()
+
+    initial = vertices.select(
+        "vertex", F.lit(1.0 / n).alias("hub"), F.lit(1.0 / n).alias("auth")
+    )
+
+    def step(state: DataFrame, _k: int) -> DataFrame:
+        # aliases per join: e_src/e_dst/vertices share the same lineage, so
+        # Spark's self-join ambiguity check needs qualified references
+        es, ed = e_src.alias("_es"), e_dst.alias("_ed")
+        raw_auth = (
+            state.join(es, state.vertex == F.col("_es.src"))
+            .groupBy(F.col("_es.dst").alias("vertex"))
+            .agg(F.sum("hub").alias("ra"))
+        )
+        s_auth = raw_auth.agg(F.sum("ra").alias("_sa"))
+        auth = (
+            vertices.join(raw_auth, "vertex", "left")
+            .join(F.broadcast(s_auth))
+            .select(
+                "vertex",
+                (F.coalesce(F.col("ra"), F.lit(0.0)) / F.col("_sa")).alias("auth"),
+            )
+        )
+        raw_hub = (
+            auth.join(ed, auth.vertex == F.col("_ed.dst"))
+            .groupBy(F.col("_ed.src").alias("vertex"))
+            .agg(F.sum("auth").alias("rh"))
+        )
+        s_hub = raw_hub.agg(F.sum("rh").alias("_sh"))
+        return (
+            vertices.join(auth, "vertex")
+            .join(raw_hub, "vertex", "left")
+            .join(F.broadcast(s_hub))
+            .select(
+                "vertex",
+                (F.coalesce(F.col("rh"), F.lit(0.0)) / F.col("_sh")).alias("hub"),
+                "auth",
+            )
+        )
+
+    def converged(old: DataFrame, new: DataFrame) -> bool:
+        row = (
+            new.alias("a")
+            .join(old.alias("b"), "vertex")
+            .agg(
+                F.sum(F.abs(F.col("a.hub") - F.col("b.hub"))).alias("dh"),
+                F.sum(F.abs(F.col("a.auth") - F.col("b.auth"))).alias("da"),
+            )
+            .first()
+        )
+        return float(row["dh"]) + float(row["da"]) < tol
+
+    run = superstep_loop(
+        spark,
+        resume_state if resume_state is not None else initial,
+        step,
+        algo="hits",
+        max_supersteps=max_supersteps,
+        converged_fn=converged if tol > 0 else None,
+        checkpoint_dir=checkpoint_dir,
+        run_id=run_id,
+        start_step=start_step,
+        count_rows=count_rows,
+    )
+    e_src.unpersist()
+    e_dst.unpersist()
+    vertices.unpersist()
+    return run

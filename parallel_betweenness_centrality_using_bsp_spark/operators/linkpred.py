@@ -1,0 +1,79 @@
+"""Link prediction over the undirected graph — common-neighbors and
+Adamic-Adar scores, the standard "which edges are missing" primitives of
+link-graph analytics (friend/citation/dependency suggestion).
+
+For a candidate pair (u, v):
+
+    common_neighbors(u, v) = |N(u) ∩ N(v)|
+    adamic_adar(u, v)      = Σ_{w ∈ N(u) ∩ N(v)} 1 / ln(deg(w))
+
+Plan shape: one self-join of the symmetrized adjacency on the shared
+neighbor w (rows (w, u) ⋈ (w, v), u < v) + a hash aggregation per pair —
+work is Σ_w deg(w)², never n².  Any w contributing to a pair has two
+distinct neighbors, so deg(w) ≥ 2 and 1/ln(deg) is always finite.  Already
+-adjacent pairs are anti-joined away (link PREDICTION scores absent edges).
+
+Skew note: the self-join fans a degree-d hub into d² rows — at web scale
+either cap hub degree (drop w with deg(w) > D: their 1/ln contribution is
+the smallest anyway, the usual pruning) via ``max_neighbor_degree``, or
+pre-split hubs with plans.skew.  The cap is logged, never silent.
+"""
+
+from __future__ import annotations
+
+import logging
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from parallel_betweenness_centrality_using_bsp_spark.operators.edges import symmetrize
+
+log = logging.getLogger(__name__)
+
+
+def adamic_adar_scores(
+    edges: DataFrame,
+    *,
+    include_common_neighbors: bool = True,
+    max_neighbor_degree: int | None = None,
+) -> DataFrame:
+    """(a, b, [cn,] aa) for every non-adjacent pair sharing ≥1 neighbor,
+    a < b; ``aa`` is the Adamic-Adar score, ``cn`` the common-neighbor
+    count.  ``max_neighbor_degree`` drops shared-neighbor hubs above the
+    bound (logged) — the standard pruning that bounds the d² fan-out."""
+    adj = symmetrize(edges)  # (src=w's neighbor relation as (src, dst))
+    nbrs = adj.select(F.col("src").alias("w"), F.col("dst").alias("u"))
+    deg = nbrs.groupBy("w").agg(F.count(F.lit(1)).alias("deg"))
+    if max_neighbor_degree is not None:
+        dropped = deg.where(F.col("deg") > max_neighbor_degree).count()
+        if dropped:
+            log.warning(
+                "adamic_adar_scores: pruned %d shared-neighbor hub(s) with "
+                "degree > %d; pairs connected ONLY through them are not scored",
+                dropped, max_neighbor_degree,
+            )
+        deg = deg.where(F.col("deg") <= max_neighbor_degree)
+    wn = nbrs.join(deg, "w")
+    l, r = wn.alias("l"), wn.alias("r")
+    scored = (
+        l.join(
+            r,
+            (F.col("l.w") == F.col("r.w")) & (F.col("l.u") < F.col("r.u")),
+        )
+        .select(
+            F.col("l.u").alias("a"),
+            F.col("r.u").alias("b"),
+            (F.lit(1.0) / F.log(F.col("l.deg").cast("double"))).alias("_c"),
+        )
+        .groupBy("a", "b")
+        .agg(
+            F.count(F.lit(1)).alias("cn"),
+            F.sum("_c").alias("aa"),
+        )
+    )
+    # link prediction scores ABSENT edges: drop already-adjacent pairs
+    existing = adj.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    out = scored.join(existing, ["a", "b"], "left_anti")
+    if not include_common_neighbors:
+        out = out.drop("cn")
+    return out
