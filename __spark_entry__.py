@@ -760,7 +760,10 @@ WALK_START_CAP = 30
 def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic random walks (DeepWalk corpus generation): 4 steps from
     every vertex < 30, neighbor choice = md5int(walk ':' step) mod degree —
-    the DuckDB twin replays the identical walks step by step."""
+    the DuckDB twin replays the identical walks step by step.  Runs the
+    skew-safe salted adjacency numbering (salt_buckets=8), which assigns
+    identical neighbor indices to the single-window form — the contract
+    exercises the production-shaped path."""
     from parallel_betweenness_centrality_using_bsp_spark.operators.walks import random_walks
 
     e = _order_edges(spark, sf_dir)
@@ -770,9 +773,9 @@ def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     starts = verts.where(F.col("vertex") < WALK_START_CAP)
-    return random_walks(spark, e, starts, walk_length=WALK_LEN).orderBy(
-        "walk_id", "pos"
-    )
+    return random_walks(
+        spark, e, starts, walk_length=WALK_LEN, salt_buckets=8
+    ).orderBy("walk_id", "pos")
 
 
 def _random_walks_sql() -> str:
