@@ -30,7 +30,8 @@ def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(description="link-graph engine job runner")
     ap.add_argument("--algo", required=True,
                     choices=["pagerank", "components", "labelprop", "triangles",
-                             "betweenness", "betweenness-bsp", "derive-edges"])
+                             "betweenness", "betweenness-bsp", "derive-edges",
+                             "sssp", "kcore", "walks", "hits"])
     src = ap.add_mutually_exclusive_group(required=True)
     src.add_argument("--edges", help="parquet path of (src,dst) edge table")
     src.add_argument("--repo-files", help="parquet path of repo_files table")
@@ -51,6 +52,8 @@ def build_parser() -> argparse.ArgumentParser:
                          "starcontract (O(log n) rounds)")
     ap.add_argument("--partitions", type=int, default=None)
     ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--k", type=int, default=3, help="k-core threshold")
+    ap.add_argument("--walk-length", type=int, default=10)
     return ap
 
 
@@ -100,11 +103,12 @@ def main(argv: list[str] | None = None) -> None:
         from parallel_betweenness_centrality_using_bsp_spark.plans.superstep import latest_checkpoint
 
         algo_name = {"pagerank": "pagerank", "components": "connected_components",
-                     "labelprop": "label_propagation"}.get(args.algo)
+                     "labelprop": "label_propagation", "sssp": "sssp",
+                     "kcore": "kcore", "walks": "walks", "hits": "hits"}.get(args.algo)
         if algo_name is None:
             raise SystemExit(
                 f"--resume is not supported for --algo {args.algo} "
-                "(only pagerank, components, labelprop checkpoint superstep state)"
+                "(only the superstep-loop kernels checkpoint resumable state)"
             )
         found = latest_checkpoint(spark, args.checkpoint_dir, algo_name, args.resume)
         if found is None:
@@ -133,6 +137,59 @@ def main(argv: list[str] | None = None) -> None:
         from parallel_betweenness_centrality_using_bsp_spark.operators.triangles import triangles_per_vertex
 
         out = triangles_per_vertex(spark, e, args.partitions)
+    elif args.algo == "sssp":
+        from pyspark.sql import functions as F
+
+        from parallel_betweenness_centrality_using_bsp_spark.operators.sssp import sssp_run
+
+        # use the table's own weight column when present, else derive a
+        # deterministic integral weight (the bench/test convention)
+        we = e if "w" in e.columns else e.select(
+            "src", "dst", ((F.col("src") + F.col("dst")) % 7 + 1).alias("w")
+        )
+        run = sssp_run(
+            spark, we, list(range(args.sources)),
+            max_hops=args.max_supersteps, **common,
+        )
+        out = run.state.select("source", "vertex", "dist")
+    elif args.algo == "kcore":
+        from pyspark.sql import functions as F
+
+        from parallel_betweenness_centrality_using_bsp_spark.operators.kcore import k_core_run
+
+        run = k_core_run(spark, e, args.k, max_rounds=args.max_supersteps, **common)
+        out = run.state.groupBy(F.col("src").alias("vertex")).agg(
+            F.count(F.lit(1)).alias("deg")
+        )
+    elif args.algo == "walks":
+        from pyspark.sql import functions as F
+
+        from parallel_betweenness_centrality_using_bsp_spark.operators.walks import random_walks_run
+
+        starts = (
+            e.select(F.col("src").alias("vertex"))
+            .unionByName(e.select(F.col("dst").alias("vertex")))
+            .distinct()
+            .where(F.col("vertex") < args.sources)
+        )
+        from parallel_betweenness_centrality_using_bsp_spark.operators.walks import (
+            walk_corpus_from_checkpoints,
+        )
+
+        _, out = random_walks_run(
+            spark, e, starts, walk_length=args.walk_length, **common
+        )
+        if args.resume:
+            # a resumed run only produced the positions after the crash; the
+            # complete corpus is the union of every checkpointed step
+            out = walk_corpus_from_checkpoints(
+                spark, args.checkpoint_dir, common["run_id"]
+            )
+    elif args.algo == "hits":
+        from parallel_betweenness_centrality_using_bsp_spark.operators.hits import hits
+
+        run = hits(spark, e, tol=args.tol, max_supersteps=args.max_supersteps, **common)
+        out = run.state
     elif args.algo in ("betweenness", "betweenness-bsp"):
         from parallel_betweenness_centrality_using_bsp_spark.operators.betweenness import (
             betweenness_bsp,
