@@ -965,6 +965,39 @@ ORDER BY h.vertex
     return "".join(parts)
 
 
+def graph_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per vertex (degree ≥ 2):
+    cc = 2·triangles(v) / (deg·(deg−1)) — the per-vertex leg of the
+    triangle machinery; integer counts + one float division make the SQL
+    twin digit-exact at 6dp."""
+    from parallel_betweenness_centrality_using_bsp_spark.operators.triangles import (
+        local_clustering_coefficients,
+    )
+
+    e = _order_edges(spark, sf_dir)
+    return (
+        local_clustering_coefficients(spark, e)
+        .select("vertex", "deg", "tri", F.round("cc", 6).alias("cc"))
+        .orderBy("vertex")
+    )
+
+
+def _clustering_sql() -> str:
+    return f"""
+WITH {_EDGES_SQL},
+  deg AS (SELECT src AS vertex, count(*)::BIGINT AS deg FROM und GROUP BY src),
+  tri AS (
+    SELECT a.src AS vertex, count(*)::BIGINT AS t
+    FROM und a JOIN und b ON a.src = b.src AND a.dst < b.dst
+    JOIN und e ON e.src = a.dst AND e.dst = b.dst
+    GROUP BY a.src)
+SELECT d.vertex, d.deg, coalesce(t.t, 0)::BIGINT AS tri,
+       round(2.0 * coalesce(t.t, 0) / (d.deg * (d.deg - 1)), 6) AS cc
+FROM deg d LEFT JOIN tri t ON t.vertex = d.vertex
+WHERE d.deg >= 2 ORDER BY d.vertex
+"""
+
+
 AA_TOPK = 20
 
 
@@ -1470,6 +1503,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_sssp": graph_sssp,
         "graph_hits3": graph_hits3,
         "graph_adamic_adar": graph_adamic_adar,
+        "graph_clustering": graph_clustering,
         "graph_harmonic": graph_harmonic,
         "graph_eccentricity": graph_eccentricity,
         "graph_kcore": graph_kcore,
@@ -1813,6 +1847,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_random_walks": _random_walks_sql(),
         "graph_hits3": _hits3_sql(),
         "graph_adamic_adar": _adamic_adar_sql(),
+        "graph_clustering": _clustering_sql(),
         "graph_neighbor_features": f"""
             WITH {_EDGES_SQL},
             f AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -82,3 +82,31 @@ def triangles_per_vertex(
         .unionByName(t.select(F.col("c").alias("vertex")))
     )
     return corners.groupBy("vertex").agg(F.count(F.lit(1)).alias("triangles"))
+
+
+def local_clustering_coefficients(
+    spark: SparkSession, edges: DataFrame, num_partitions: int | None = None
+) -> DataFrame:
+    """(vertex, deg, tri, cc) for every vertex with degree ≥ 2:
+    cc = 2·tri / (deg·(deg−1)), the local clustering coefficient — rides
+    the degree-oriented triangle machinery (hub-safe) plus one degree agg
+    and a left join, all on the same vertex partitioning."""
+    und = symmetrize(edges)
+    deg = und.groupBy(F.col("src").alias("vertex")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    tri = triangles_per_vertex(spark, edges, num_partitions)
+    return (
+        deg.where(F.col("deg") >= 2)
+        .join(tri, "vertex", "left")
+        .select(
+            "vertex",
+            "deg",
+            F.coalesce(F.col("triangles"), F.lit(0)).alias("tri"),
+            (
+                F.lit(2.0)
+                * F.coalesce(F.col("triangles"), F.lit(0))
+                / (F.col("deg") * (F.col("deg") - 1))
+            ).alias("cc"),
+        )
+    )

@@ -28,3 +28,24 @@ def test_ba_skewed_per_vertex(spark):
     edges = ba_graph(n=200, m=3, seed=42)
     got = df_to_dict(triangles_per_vertex(spark, edge_df(spark, edges)), "vertex", "triangles")
     assert got == oracle_triangles_per_vertex(edges)
+
+
+def test_local_clustering_matches_networkx(spark):
+    import networkx as nx
+    import numpy as np
+
+    from parallel_betweenness_centrality_using_bsp_spark.operators.triangles import (
+        local_clustering_coefficients,
+    )
+
+    edges = ba_graph(n=150, m=3, seed=9)
+    got = {
+        r["vertex"]: (r["deg"], r["tri"], r["cc"])
+        for r in local_clustering_coefficients(spark, edge_df(spark, edges)).collect()
+    }
+    g = nx.Graph(edges)
+    want = nx.clustering(g)
+    assert set(got) == {v for v in g if g.degree(v) >= 2}
+    for v, (deg, _tri, cc) in got.items():
+        assert deg == g.degree(v)
+        assert np.isclose(cc, want[v], atol=1e-9)
