@@ -79,6 +79,7 @@ def sssp_run(
     start_step: int = 0,
     count_rows: bool = True,
     frontier_sizes: list[int] | None = None,
+    bucket_state: bool = False,
 ) -> SuperstepRun:
     """Full superstep run; state is (source long, vertex long, dist long,
     improved boolean) — ``improved`` marks the current frontier.
@@ -90,7 +91,11 @@ def sssp_run(
     ``resume_state``/``start_step`` (from ``plans.superstep.latest_checkpoint``)
     restart a crashed run mid-iteration, like pagerank.  Pass a list as
     ``frontier_sizes`` to record the per-round frontier row count (one extra
-    tiny count job per round — test/diagnostic use).
+    tiny count job per round — test/diagnostic use).  ``bucket_state=True``
+    (requires ``checkpoint_dir``) lands each round's state as a parquet
+    table bucketed+sorted on (source, vertex), so the next round's
+    full-outer merge skips the state-side exchange and sort — the layout
+    for cluster-scale runs.
     """
     p = num_partitions or spark.sparkContext.defaultParallelism
     e = _prepare_edges(spark, weighted_edges, directed, p)
@@ -140,6 +145,7 @@ def sssp_run(
         run_id=run_id,
         start_step=start_step,
         count_rows=count_rows,
+        bucket_state_by=["source", "vertex"] if bucket_state else None,
     )
     e.unpersist()
     return run

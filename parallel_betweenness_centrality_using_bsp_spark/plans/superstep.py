@@ -56,6 +56,11 @@ def _state_path(checkpoint_dir: str, algo: str, run_id: str, step: int) -> str:
     return f"{checkpoint_dir}/{algo}/{run_id}/superstep={step}"
 
 
+def _bucket_table_name(algo: str, run_id: str, step: int) -> str:
+    safe = "".join(c if c.isalnum() else "_" for c in run_id)
+    return f"ss_{algo}_{safe}_{step}"
+
+
 def _materialize(
     spark: SparkSession,
     df: DataFrame,
@@ -64,10 +69,35 @@ def _materialize(
     run_id: str,
     step: int,
     count_rows: bool = True,
+    bucket_state_by: list[str] | None = None,
 ) -> tuple[DataFrame, int]:
-    """Barrier: force computation, cut lineage, return (state, row_count)."""
+    """Barrier: force computation, cut lineage, return (state, row_count).
+
+    With ``bucket_state_by`` (and a checkpoint_dir), state lands as a
+    BUCKETED+SORTED parquet table on those columns instead of a plain
+    parquet directory: the next superstep's join/aggregation on the state
+    keys then reads the bucketing metadata and skips the state-side
+    exchange AND sort entirely (plan-tested) — the layout a 100 TB run
+    wants, since the state is rewritten every superstep anyway and the
+    exchange it saves is state-sized.  The files still live under the
+    same ``superstep=k`` path, so ``latest_checkpoint`` resume is
+    unchanged (a resumed first read is merely unbucketed).
+    """
     if checkpoint_dir is not None:
         path = _state_path(checkpoint_dir, algo, run_id, step)
+        if bucket_state_by:
+            n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+            name = _bucket_table_name(algo, run_id, step)
+            (
+                df.write.mode("overwrite")
+                .format("parquet")
+                .option("path", path)
+                .bucketBy(n, *bucket_state_by)
+                .sortBy(*bucket_state_by)
+                .saveAsTable(name)
+            )
+            out = spark.table(name)
+            return out, out.count()
         df.write.mode("overwrite").parquet(path)
         out = spark.read.parquet(path)
         return out, out.count()
@@ -98,6 +128,7 @@ def superstep_loop(
     start_step: int = 0,
     metrics_per_partition: bool = False,
     count_rows: bool = True,
+    bucket_state_by: list[str] | None = None,
 ) -> SuperstepRun:
     """Run ``state <- step_fn(state, k)`` until convergence or max_supersteps.
 
@@ -116,7 +147,8 @@ def superstep_loop(
         state = initial_state
     else:
         state, _ = _materialize(
-            spark, initial_state, checkpoint_dir, algo, run_id, start_step
+            spark, initial_state, checkpoint_dir, algo, run_id, start_step,
+            bucket_state_by=bucket_state_by,
         )
     metrics: list[dict] = []
     converged = False
@@ -133,6 +165,7 @@ def superstep_loop(
             run_id,
             step,
             count_rows=count_rows or checkpoint_dir is not None,
+            bucket_state_by=bucket_state_by,
         )
         wall_ms = (time.monotonic() - t0) * 1000.0
 

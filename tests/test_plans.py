@@ -115,3 +115,39 @@ def test_asof_prev_single_window_pass(spark):
     assert final.count("Window (") == 1, final
     assert final.count("Exchange (") == 1, final
     assert "Join" not in final  # no range/theta join anywhere
+
+
+def test_bucketed_state_skips_state_side_exchange(spark, tmp_path):
+    """superstep_loop's bucket_state_by: the materialized state table is
+    bucketed+sorted on the merge keys, so the next round's full-outer merge
+    plans with NO exchange on the state side (the cand side keeps its one
+    shuffle) — the 100 TB layout for per-round state rewrites."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from parallel_betweenness_centrality_using_bsp_spark.plans.superstep import _materialize
+
+    state = spark.range(2000).select(
+        (F.col("id") % 4).alias("source"), F.col("id").alias("vertex"),
+        (F.col("id") % 97).alias("dist"), F.lit(False).alias("improved"),
+    )
+    out, n = _materialize(
+        spark, state, str(tmp_path / "ck"), "planprobe", "r1", 0,
+        bucket_state_by=["source", "vertex"],
+    )
+    assert n == 2000
+    cand = (
+        spark.range(300)
+        .select((F.col("id") % 4).alias("source"), F.col("id").alias("vertex"),
+                (F.col("id") % 7).alias("dist"))
+        .groupBy("source", "vertex").agg(F.min("dist").alias("dist"))
+    )
+    st, c = out.alias("s"), cand.alias("c")
+    m = st.join(c, ["source", "vertex"], "full_outer").select(
+        "source", "vertex", F.coalesce(F.col("c.dist"), F.col("s.dist")).alias("dist")
+    )
+    plan = m._sc._jvm.PythonSQLUtils.explainString(m._jdf.queryExecution(), "formatted")
+    assert "SelectedBucketsCount" in plan          # the state scan IS bucketed
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1  # cand side only
+    spark.sql("DROP TABLE IF EXISTS ss_planprobe_r1_0")

@@ -87,3 +87,23 @@ def test_sssp_resume_mid_iteration(spark, tmp_path):
         for r in resumed.state.select("source", "vertex", "dist").collect()
     }
     assert got == want
+
+
+def test_sssp_bucketed_state_matches_plain(spark, tmp_path):
+    edges = er_graph(n=60, p=0.08, seed=14)
+    e, _ = _weighted(spark, edges)
+    want = {
+        (r["source"], r["vertex"]): r["dist"]
+        for r in sssp(spark, e, [0, 2], max_hops=6, early_stop=False).collect()
+    }
+    run = sssp_run(
+        spark, e, [0, 2], max_hops=6, early_stop=False,
+        checkpoint_dir=str(tmp_path / "ck"), run_id="bkt", bucket_state=True,
+    )
+    got = {
+        (r["source"], r["vertex"]): r["dist"]
+        for r in run.state.select("source", "vertex", "dist").collect()
+    }
+    assert got == want
+    for k in range(7):
+        spark.sql(f"DROP TABLE IF EXISTS ss_sssp_bkt_{k}")
