@@ -705,6 +705,54 @@ def graph_pagerank5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run.state.select("vertex", F.round("pr", 6).alias("pr")).orderBy("vertex")
 
 
+def graph_pagerank5_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED PageRank, 5 fixed iterations: out-edge shares are
+    pr·w/Σ_out w with deterministic integral weights w=(src+dst)%7+1 —
+    the oracle unrolls the identical weighted iterations."""
+    from parallel_betweenness_centrality_using_bsp_spark.operators.pagerank import pagerank
+
+    e = _order_edges(spark, sf_dir).select(
+        "src", "dst", ((F.col("src") + F.col("dst")) % 7 + 1).alias("w")
+    )
+    run = pagerank(spark, e, tol=0.0, max_supersteps=5, weight_col="w")
+    return run.state.select("vertex", F.round("pr", 6).alias("pr")).orderBy("vertex")
+
+
+def _pagerank5_weighted_sql() -> str:
+    """The weighted twin of ``_pagerank5_sql``: outdeg becomes the per-src
+    weight sum and each contribution is pr·w/od."""
+    a = 0.85
+    parts = [
+        f"WITH {_EDGES_SQL},",
+        """
+  wedges AS (SELECT src, dst, ((src + dst) % 7 + 1)::DOUBLE AS w FROM edges),
+  dverts AS (SELECT DISTINCT src AS vertex FROM edges
+             UNION SELECT DISTINCT dst FROM edges),
+  n_tot AS (SELECT count(*)::DOUBLE AS n FROM dverts),
+  outdeg AS (SELECT src AS vertex, sum(w) AS od FROM wedges GROUP BY src),
+  tele AS (SELECT vertex, 1.0 / (SELECT n FROM n_tot) AS t FROM dverts),
+  pr0 AS (SELECT vertex, t AS pr FROM tele)
+""",
+    ]
+    for k in range(1, 6):
+        p = f"pr{k - 1}"
+        parts.append(
+            f""",
+  dm{k} AS (SELECT coalesce(sum(pr), 0.0) AS m FROM {p}
+            WHERE vertex NOT IN (SELECT vertex FROM outdeg)),
+  c{k} AS (SELECT e.dst AS vertex, sum(p.pr * e.w / o.od) AS c
+           FROM {p} p JOIN wedges e ON e.src = p.vertex
+           JOIN outdeg o ON o.vertex = p.vertex GROUP BY e.dst),
+  pr{k} AS (SELECT v.vertex,
+              (1.0 - {a}) * v.t
+              + {a} * (coalesce(c.c, 0.0) + (SELECT m FROM dm{k}) * v.t) AS pr
+            FROM tele v LEFT JOIN c{k} c ON c.vertex = v.vertex)
+"""
+        )
+    parts.append("SELECT vertex, round(pr, 6) AS pr FROM pr5 ORDER BY vertex")
+    return "".join(parts)
+
+
 def graph_ppr5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Personalized PageRank, 5 fixed iterations: teleport concentrated on
     the seed set {v < 10} (dangling mass redistributed by the same vector);
@@ -1496,6 +1544,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_components": graph_components,
         "graph_components_star": graph_components_star,
         "graph_pagerank5": graph_pagerank5,
+        "graph_pagerank5_weighted": graph_pagerank5_weighted,
         "graph_ppr5": graph_ppr5,
         "graph_labelprop3": graph_labelprop3,
         "graph_betweenness": graph_betweenness,
@@ -1775,6 +1824,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT vertex, min(lab) AS label FROM reach GROUP BY vertex ORDER BY vertex
         """,
         "graph_pagerank5": _pagerank5_sql(),
+        "graph_pagerank5_weighted": _pagerank5_weighted_sql(),
         "graph_ppr5": _pagerank5_sql(_PPR_TELE_SQL),
         "graph_labelprop3": _labelprop3_sql(),
         "graph_betweenness": _betweenness_sql(),

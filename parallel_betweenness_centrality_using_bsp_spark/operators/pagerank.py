@@ -41,15 +41,32 @@ def pagerank(
     start_step: int = 0,
     count_rows: bool = True,
     personalize: list[int] | None = None,
+    weight_col: str | None = None,
 ) -> SuperstepRun:
     """Returns run whose state is (vertex long, pr double).
 
     ``resume_state``/``start_step`` (from ``plans.superstep.latest_checkpoint``)
     restart a crashed checkpointed run mid-iteration.  ``personalize`` runs
-    personalized PageRank over the given seed-vertex set.
+    personalized PageRank over the given seed-vertex set.  ``weight_col``
+    runs WEIGHTED PageRank: each out-edge carries pr(u)·w/Σ_out w(u)
+    instead of pr(u)/outdeg(u) — same plan shape (the per-source weight sum
+    replaces the out-degree in the one-off persisted edge table; parallel
+    edges keep the SUM of their weights), so the per-iteration cost is
+    identical to the unweighted kernel.
     """
     p = num_partitions or spark.sparkContext.defaultParallelism
-    e = edges.select("src", "dst").dropDuplicates(["src", "dst"])
+    if weight_col is not None:
+        # sum parallel edges' weights (dedup would drop weight mass)
+        e = (
+            edges.select("src", "dst", F.col(weight_col).cast("double").alias("_w"))
+            .groupBy("src", "dst")
+            .agg(F.sum("_w").alias("_w"))
+            # a non-positive total weight carries no rank; dropping the edge
+            # makes an all-zero-weight source a dangling vertex (no 0/0)
+            .where(F.col("_w") > 0)
+        )
+    else:
+        e = edges.select("src", "dst").dropDuplicates(["src", "dst"])
     # Partitioned by vertex ONCE: the per-iteration left join against the
     # contribution aggregate (whose exchange is also hash(vertex, p)) then
     # reuses this layout instead of re-shuffling the vertex set every step.
@@ -61,8 +78,12 @@ def pagerank(
         .persist()
     )
     n = vertices.count()
-    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    # Edge table with outdeg attached, partitioned by src once, reused forever.
+    if weight_col is not None:
+        out_deg = e.groupBy("src").agg(F.sum("_w").alias("outdeg"))
+    else:
+        out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # Edge table with outdeg (or out-weight-sum) attached, partitioned by
+    # src once, reused forever.
     edges_w = e.join(out_deg, "src").repartition(p, "src").persist()
     edges_w.count()
     dangling = vertices.join(
@@ -104,9 +125,14 @@ def pagerank(
             state.join(dangling, "vertex", "left_semi")
             .agg(F.coalesce(F.sum("pr"), F.lit(0.0)).alias("_dm"))
         )
+        share = (
+            F.col("pr") * F.col("_w") / F.col("outdeg")
+            if weight_col is not None
+            else F.col("pr") / F.col("outdeg")
+        )
         contribs = (
             state.join(edges_w, state.vertex == edges_w.src)
-            .select(edges_w.dst.alias("vertex"), (F.col("pr") / F.col("outdeg")).alias("c"))
+            .select(edges_w.dst.alias("vertex"), share.alias("c"))
             .groupBy("vertex")
             .agg(F.sum("c").alias("c"))
         )

@@ -45,3 +45,38 @@ def test_personalized_pagerank_matches_oracle(spark):
     for v, pr in want.items():
         assert np.isclose(got[v], pr, atol=1e-6)
     assert abs(sum(got.values()) - 1.0) < 1e-9  # mass conserved with teleport set
+
+
+def test_weighted_pagerank_matches_oracle(spark):
+    import numpy as np
+
+    from collections import defaultdict
+
+    from parallel_betweenness_centrality_using_bsp_spark.operators.pagerank import pagerank
+    from parallel_betweenness_centrality_using_bsp_spark.sources.graphs import edge_df
+
+    from tests.oracles import er_graph
+
+    edges = er_graph(n=70, p=0.07, seed=12)
+    wedges = [(u, v, (u + v) % 5 + 1) for u, v in edges]  # directed, weighted
+    e = spark.createDataFrame(wedges, "src long, dst long, w long")
+    run = pagerank(spark, e, tol=1e-12, max_supersteps=300, weight_col="w")
+    got = {r["vertex"]: r["pr"] for r in run.state.collect()}
+
+    # pure-python weighted power iteration, identical convention
+    nodes = sorted({x for u, v, _ in wedges for x in (u, v)})
+    n = len(nodes)
+    alpha, t = 0.85, {v: 1.0 / n for v in nodes}
+    wsum = defaultdict(float)
+    for u, v, w in wedges:
+        wsum[u] += w
+    pr = dict(t)
+    for _ in range(2000):
+        dangling = sum(pr[v] for v in nodes if wsum[v] == 0)
+        new = {v: (1.0 - alpha) * t[v] + alpha * dangling * t[v] for v in nodes}
+        for u, v, w in wedges:
+            new[v] += alpha * pr[u] * w / wsum[u]
+        pr = new
+    for v in nodes:
+        assert np.isclose(got[v], pr[v], atol=1e-8)
+    assert abs(sum(got.values()) - 1.0) < 1e-9  # mass conserved
