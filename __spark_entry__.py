@@ -1013,6 +1013,41 @@ ORDER BY h.vertex
     return "".join(parts)
 
 
+def graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strongly connected components (coloring algorithm, nested BSP
+    loops) on the DIRECTED edge set; labels canonicalized to the minimum
+    member id, so the DuckDB twin — recursive-CTE transitive closure +
+    mutual-reach pairing — reproduces them exactly."""
+    from parallel_betweenness_centrality_using_bsp_spark.operators.scc import (
+        strongly_connected_components,
+    )
+
+    e = _order_edges(spark, sf_dir)
+    return strongly_connected_components(spark, e).orderBy("vertex")
+
+
+def _scc_sql() -> str:
+    return f"""
+WITH RECURSIVE {_EDGES_SQL},
+  dverts AS (SELECT DISTINCT src AS vertex FROM edges
+             UNION SELECT DISTINCT dst FROM edges),
+  reach AS (
+    SELECT src AS u, dst AS v FROM edges
+    UNION
+    SELECT r.u, e.dst FROM reach r JOIN edges e ON e.src = r.v
+  ),
+  mutual AS (
+    SELECT r1.u AS a, r1.v AS b
+    FROM reach r1 JOIN reach r2 ON r1.u = r2.v AND r1.v = r2.u
+  )
+SELECT d.vertex,
+       least(d.vertex, coalesce(min(m.b), d.vertex)) AS scc
+FROM dverts d LEFT JOIN mutual m ON m.a = d.vertex
+GROUP BY d.vertex
+ORDER BY d.vertex
+"""
+
+
 def graph_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Local clustering coefficient per vertex (degree ≥ 2):
     cc = 2·triangles(v) / (deg·(deg−1)) — the per-vertex leg of the
@@ -1553,6 +1588,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_hits3": graph_hits3,
         "graph_adamic_adar": graph_adamic_adar,
         "graph_clustering": graph_clustering,
+        "graph_scc": graph_scc,
         "graph_harmonic": graph_harmonic,
         "graph_eccentricity": graph_eccentricity,
         "graph_kcore": graph_kcore,
@@ -1898,6 +1934,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_hits3": _hits3_sql(),
         "graph_adamic_adar": _adamic_adar_sql(),
         "graph_clustering": _clustering_sql(),
+        "graph_scc": _scc_sql(),
         "graph_neighbor_features": f"""
             WITH {_EDGES_SQL},
             f AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -1,0 +1,139 @@
+"""Strongly connected components — the coloring (Orzan) algorithm as
+nested BSP loops, the directed-graph sibling of connected components.
+
+Outer round (on the still-unassigned subgraph):
+
+  1. **Color propagation** (inner BSP loop): ``color(v)`` starts as ``v``
+     and takes the max over itself and its in-neighbors' colors until the
+     fixpoint — after it, ``color(v) = max(ancestors(v) ∪ {v})``.  This is
+     the hash-max twin of the components kernel: one frontier-driven join +
+     max-aggregation per superstep, only CHANGED colors propagate.
+  2. **Pivots**: vertices with ``color(v) == v`` (no larger ancestor).
+  3. **Backward reach** (inner BSP loop): from each pivot c, BFS along
+     REVERSED edges restricted to color-class c.  Every reached vertex is
+     in the SCC of c (it reaches c forward via the color certificate, and
+     c reaches it backward) — all pivot classes expand in parallel in one
+     joint frontier keyed by color.
+  4. Assign those SCCs, induce the remaining subgraph, repeat.
+
+Each outer round assigns ≥1 SCC per color class containing a pivot;
+typical graphs finish in a handful of rounds (worst case — a chain with
+decreasing ids — degrades to O(n) rounds; id-randomized inputs avoid it).
+SCC labels are canonicalized to the MINIMUM member id, so output is
+engine-independent.
+
+All inner loops materialize per superstep (localCheckpoint) and move only
+frontier-sized deltas; edges for the round are partitioned once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def strongly_connected_components(
+    spark: SparkSession,
+    edges: DataFrame,
+    *,
+    num_partitions: int | None = None,
+    max_outer_rounds: int = 200,
+) -> DataFrame:
+    """(vertex long, scc long) — scc is the minimum vertex id in the
+    vertex's strongly connected component.  Vertices are the src ∪ dst of
+    the directed edge set; self-loops and parallel edges are tolerated."""
+    p = num_partitions or spark.sparkContext.defaultParallelism
+    e_all = (
+        edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+        .repartition(p, "src")
+        .localCheckpoint(eager=True)
+    )
+    verts = (
+        edges.select(F.col("src").alias("vertex"))
+        .unionByName(edges.select(F.col("dst").alias("vertex")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    assigned = spark.createDataFrame([], "vertex long, scc long")
+    remaining = verts
+    e = e_all
+
+    for _ in range(max_outer_rounds):
+        if remaining.isEmpty():
+            break
+
+        # -- 1. forward max-color propagation to fixpoint ------------------
+        color = remaining.select("vertex", F.col("vertex").alias("color"))
+        color = color.localCheckpoint(eager=True)
+        frontier = color  # rows whose color changed last superstep
+        while True:
+            msgs = (
+                frontier.join(e, frontier.vertex == e.src)
+                .select(e.dst.alias("vertex"), "color")
+                .groupBy("vertex")
+                .agg(F.max("color").alias("cand"))
+            )
+            c, m = color.alias("c"), msgs.alias("m")
+            merged = (
+                c.join(m, "vertex", "left")
+                .select(
+                    "vertex",
+                    F.greatest(F.col("c.color"), F.col("m.cand")).alias("color"),
+                    (F.col("m.cand") > F.col("c.color")).alias("_chg"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            frontier = merged.where(F.col("_chg")).select("vertex", "color")
+            color = merged.select("vertex", "color")
+            if merged.where(F.col("_chg")).isEmpty():
+                break
+
+        # -- 2/3. backward reach from pivots within each color class -------
+        # member (vertex, color); pivot classes expand along reversed edges
+        # restricted to same-color endpoints, all classes at once
+        colored_e = (
+            e.join(color.withColumnRenamed("vertex", "src").withColumnRenamed("color", "sc"), "src")
+            .join(color.withColumnRenamed("vertex", "dst").withColumnRenamed("color", "dc"), "dst")
+            .where(F.col("sc") == F.col("dc"))
+            .select(F.col("dst").alias("r_src"), F.col("src").alias("r_dst"), F.col("sc").alias("color"))
+            .localCheckpoint(eager=True)
+        )
+        scc_members = color.where(F.col("vertex") == F.col("color")).select(
+            "vertex", "color"
+        ).localCheckpoint(eager=True)
+        frontier = scc_members
+        while not frontier.isEmpty():
+            nxt = (
+                frontier.join(
+                    colored_e,
+                    (frontier.vertex == colored_e.r_src)
+                    & (frontier.color == colored_e.color),
+                )
+                .select(F.col("r_dst").alias("vertex"), colored_e.color.alias("color"))
+                .distinct()
+                .join(scc_members, ["vertex", "color"], "left_anti")
+                .localCheckpoint(eager=True)
+            )
+            frontier = nxt
+            if not nxt.isEmpty():
+                scc_members = scc_members.unionByName(nxt).localCheckpoint(eager=True)
+
+        # -- 4. canonicalize labels, peel, induce the rest -----------------
+        labels = (
+            scc_members.groupBy("color")
+            .agg(F.min("vertex").alias("scc"))
+            .join(scc_members, "color")
+            .select("vertex", "scc")
+        )
+        assigned = assigned.unionByName(labels).localCheckpoint(eager=True)
+        remaining = remaining.join(labels.select("vertex"), "vertex", "left_anti").localCheckpoint(eager=True)
+        e = (
+            e.join(labels.select(F.col("vertex").alias("src")), "src", "left_anti")
+            .join(labels.select(F.col("vertex").alias("dst")), "dst", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+
+    return assigned

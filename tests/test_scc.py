@@ -1,0 +1,46 @@
+import networkx as nx
+
+from parallel_betweenness_centrality_using_bsp_spark.operators.scc import strongly_connected_components
+from parallel_betweenness_centrality_using_bsp_spark.sources.graphs import edge_df
+
+from tests.oracles import er_graph
+
+
+def _want(directed_edges):
+    g = nx.DiGraph(directed_edges)
+    want = {}
+    for comp in nx.strongly_connected_components(g):
+        m = min(comp)
+        for v in comp:
+            want[v] = m
+    return want
+
+
+def _got(spark, directed_edges):
+    return {
+        r["vertex"]: r["scc"]
+        for r in strongly_connected_components(
+            spark, edge_df(spark, directed_edges)
+        ).collect()
+    }
+
+
+def test_scc_two_cycles_and_bridge(spark):
+    # cycle {0,1,2} -> cycle {3,4}, plus a dead-end 5
+    e = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (4, 3), (4, 5)]
+    assert _got(spark, e) == _want(e)
+
+
+def test_scc_er_digraph(spark):
+    # one orientation of an ER graph plus back-edges to force nontrivial SCCs
+    base = er_graph(n=50, p=0.06, seed=19)
+    e = list(base) + [(v, u) for u, v in base if (u + v) % 3 == 0]
+    got, want = _got(spark, e), _want(e)
+    assert got == want
+    assert len(set(want.values())) > 1  # the fixture has multiple SCCs
+
+
+def test_scc_decreasing_chain_worst_case(spark):
+    # 5 <- 4 <- ... the coloring algorithm's O(n) worst case still correct
+    e = [(i + 1, i) for i in range(6)]
+    assert _got(spark, e) == {v: v for v in range(7)}
