@@ -1013,22 +1013,52 @@ ORDER BY h.vertex
     return "".join(parts)
 
 
+def _order_edges_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The order graph SPARSIFIED by a deterministic row filter on the raw
+    keys (kept iff (7·custkey + orderkey) % 4 == 0) — the full graph is one
+    giant SCC, so the SCC/condensation gates use this variant (75 SCCs at
+    sf0.01, a genuinely layered condensation DAG)."""
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_custkey") * 7 + F.col("o_orderkey")) % 4 == 0
+    )
+    return (
+        o.select(
+            (F.col("o_custkey") % GRAPH_MOD).alias("src"),
+            (F.col("o_orderkey") % GRAPH_MOD).alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+    )
+
+
+_EDGES_SPARSE_SQL = f"""
+  edges AS (
+    SELECT DISTINCT (o_custkey % {GRAPH_MOD})::BIGINT AS src,
+                    (o_orderkey % {GRAPH_MOD})::BIGINT AS dst
+    FROM orders
+    WHERE (o_custkey % {GRAPH_MOD}) != (o_orderkey % {GRAPH_MOD})
+      AND (o_custkey * 7 + o_orderkey) % 4 = 0
+  )
+"""
+
+
 def graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Strongly connected components (coloring algorithm, nested BSP
-    loops) on the DIRECTED edge set; labels canonicalized to the minimum
-    member id, so the DuckDB twin — recursive-CTE transitive closure +
-    mutual-reach pairing — reproduces them exactly."""
+    loops) on the DIRECTED sparsified edge set (75 nontrivial SCCs at
+    sf0.01); labels canonicalized to the minimum member id, so the DuckDB
+    twin — recursive-CTE transitive closure + mutual-reach pairing —
+    reproduces them exactly."""
     from parallel_betweenness_centrality_using_bsp_spark.operators.scc import (
         strongly_connected_components,
     )
 
-    e = _order_edges(spark, sf_dir)
+    e = _order_edges_sparse(spark, sf_dir)
     return strongly_connected_components(spark, e).orderBy("vertex")
 
 
 def _scc_sql() -> str:
     return f"""
-WITH RECURSIVE {_EDGES_SQL},
+WITH RECURSIVE {_EDGES_SPARSE_SQL},
   dverts AS (SELECT DISTINCT src AS vertex FROM edges
              UNION SELECT DISTINCT dst FROM edges),
   reach AS (
@@ -1045,6 +1075,74 @@ SELECT d.vertex,
 FROM dverts d LEFT JOIN mutual m ON m.a = d.vertex
 GROUP BY d.vertex
 ORDER BY d.vertex
+"""
+
+
+def graph_condensation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCC condensation DAG with longest-path layers (the build-order
+    depth a dependency scheduler uses) and component sizes: (scc, size,
+    layer) per component.  Composes three engine operators — SCC,
+    condense, DAG max-propagation — and the DuckDB twin recomputes all
+    three from the transitive closure."""
+    from parallel_betweenness_centrality_using_bsp_spark.operators.scc import (
+        condense,
+        dag_longest_path_layers,
+        strongly_connected_components,
+    )
+
+    e = _order_edges_sparse(spark, sf_dir)
+    labels = strongly_connected_components(spark, e).localCheckpoint(eager=True)
+    cond = condense(spark, e, labels)
+    sccs = labels.select(F.col("scc").alias("vertex")).distinct()
+    layers = dag_longest_path_layers(spark, cond, vertices=sccs)
+    sizes = labels.groupBy("scc").agg(F.count(F.lit(1)).alias("size"))
+    return (
+        sizes.join(layers.select(F.col("vertex").alias("scc"), "layer"), "scc")
+        .select("scc", "size", "layer")
+        .orderBy("scc")
+    )
+
+
+def _condensation_sql() -> str:
+    return f"""
+WITH RECURSIVE {_EDGES_SPARSE_SQL},
+  dverts AS (SELECT DISTINCT src AS vertex FROM edges
+             UNION SELECT DISTINCT dst FROM edges),
+  reach AS (
+    SELECT src AS u, dst AS v FROM edges
+    UNION
+    SELECT r.u, e.dst FROM reach r JOIN edges e ON e.src = r.v
+  ),
+  mutual AS (
+    SELECT r1.u AS a, r1.v AS b
+    FROM reach r1 JOIN reach r2 ON r1.u = r2.v AND r1.v = r2.u
+  ),
+  sccmap AS (
+    SELECT d.vertex, least(d.vertex, coalesce(min(m.b), d.vertex)) AS scc
+    FROM dverts d LEFT JOIN mutual m ON m.a = d.vertex
+    GROUP BY d.vertex
+  ),
+  cond AS (
+    SELECT DISTINCT sa.scc AS a, sb.scc AS b
+    FROM edges e
+    JOIN sccmap sa ON sa.vertex = e.src
+    JOIN sccmap sb ON sb.vertex = e.dst
+    WHERE sa.scc != sb.scc
+  ),
+  paths AS (
+    SELECT a, b, 1 AS d FROM cond
+    UNION
+    SELECT p.a, c.b, p.d + 1 FROM paths p JOIN cond c ON c.a = p.b
+  ),
+  sccs AS (SELECT DISTINCT scc FROM sccmap),
+  layer AS (
+    SELECT s.scc, coalesce(max(p.d), 0)::BIGINT AS layer
+    FROM sccs s LEFT JOIN paths p ON p.b = s.scc GROUP BY s.scc
+  ),
+  sz AS (SELECT scc, count(*)::BIGINT AS size FROM sccmap GROUP BY scc)
+SELECT l.scc, z.size, l.layer
+FROM layer l JOIN sz z ON z.scc = l.scc
+ORDER BY l.scc
 """
 
 
@@ -1589,6 +1687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_adamic_adar": graph_adamic_adar,
         "graph_clustering": graph_clustering,
         "graph_scc": graph_scc,
+        "graph_condensation": graph_condensation,
         "graph_harmonic": graph_harmonic,
         "graph_eccentricity": graph_eccentricity,
         "graph_kcore": graph_kcore,
@@ -1935,6 +2034,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_adamic_adar": _adamic_adar_sql(),
         "graph_clustering": _clustering_sql(),
         "graph_scc": _scc_sql(),
+        "graph_condensation": _condensation_sql(),
         "graph_neighbor_features": f"""
             WITH {_EDGES_SQL},
             f AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

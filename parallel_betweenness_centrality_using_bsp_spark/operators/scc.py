@@ -137,3 +137,66 @@ def strongly_connected_components(
         )
 
     return assigned
+
+
+def condense(spark: SparkSession, edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """(src long, dst long) — the SCC condensation DAG: every edge mapped
+    to its endpoints' SCC labels, self-SCC edges dropped, deduplicated.
+    ``labels`` is ``strongly_connected_components`` output."""
+    return (
+        edges.select("src", "dst")
+        .join(labels.select(F.col("vertex").alias("src"), F.col("scc").alias("sa")), "src")
+        .join(labels.select(F.col("vertex").alias("dst"), F.col("scc").alias("sb")), "dst")
+        .where(F.col("sa") != F.col("sb"))
+        .select(F.col("sa").alias("src"), F.col("sb").alias("dst"))
+        .dropDuplicates(["src", "dst"])
+    )
+
+
+def dag_longest_path_layers(
+    spark: SparkSession,
+    dag_edges: DataFrame,
+    vertices: DataFrame | None = None,
+    *,
+    max_rounds: int = 10_000,
+) -> DataFrame:
+    """(vertex long, layer long) — longest-path depth from any source of a
+    DAG (layer 0 = no in-edges): the topological layering a build system
+    schedules by.  Iterative max-propagation; only vertices whose layer
+    grew last round send messages, so each round's work is frontier-sized
+    and the round count is the DAG's longest path.  Input MUST be acyclic
+    (feed the SCC condensation for arbitrary graphs) — a cycle would never
+    converge, so rounds are capped and overrunning raises."""
+    e = dag_edges.select("src", "dst").dropDuplicates(["src", "dst"]).localCheckpoint(eager=True)
+    verts = vertices or (
+        e.select(F.col("src").alias("vertex"))
+        .unionByName(e.select(F.col("dst").alias("vertex")))
+        .distinct()
+    )
+    layer = verts.select("vertex", F.lit(0).alias("layer")).localCheckpoint(eager=True)
+    frontier = layer
+    for _ in range(max_rounds):
+        msgs = (
+            frontier.join(e, frontier.vertex == e.src)
+            .select(e.dst.alias("vertex"), (F.col("layer") + 1).alias("cand"))
+            .groupBy("vertex")
+            .agg(F.max("cand").alias("cand"))
+        )
+        la, m = layer.alias("l"), msgs.alias("m")
+        merged = (
+            la.join(m, "vertex", "left")
+            .select(
+                "vertex",
+                F.greatest(F.col("l.layer"), F.col("m.cand")).alias("layer"),
+                (F.col("m.cand") > F.col("l.layer")).alias("_chg"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        frontier = merged.where(F.col("_chg")).select("vertex", "layer")
+        layer = merged.select("vertex", "layer")
+        if frontier.isEmpty():
+            return layer
+    raise ValueError(
+        f"dag_longest_path_layers did not converge in {max_rounds} rounds — "
+        "is the input really acyclic? (condense() cyclic graphs first)"
+    )

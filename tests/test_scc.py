@@ -44,3 +44,51 @@ def test_scc_decreasing_chain_worst_case(spark):
     # 5 <- 4 <- ... the coloring algorithm's O(n) worst case still correct
     e = [(i + 1, i) for i in range(6)]
     assert _got(spark, e) == {v: v for v in range(7)}
+
+
+def test_condensation_and_layers_match_networkx(spark):
+    from parallel_betweenness_centrality_using_bsp_spark.operators.scc import (
+        condense,
+        dag_longest_path_layers,
+    )
+    from pyspark.sql import functions as F
+
+    base = er_graph(n=40, p=0.08, seed=23)
+    e = list(base) + [(v, u) for u, v in base if (u + v) % 4 == 0]
+    edf = edge_df(spark, e)
+    labels = strongly_connected_components(spark, edf).localCheckpoint(eager=True)
+    cond = condense(spark, edf, labels)
+    sccs = labels.select(F.col("scc").alias("vertex")).distinct()
+    got = {
+        r["vertex"]: r["layer"]
+        for r in dag_longest_path_layers(spark, cond, vertices=sccs).collect()
+    }
+
+    g = nx.DiGraph(e)
+    comp_min = {}
+    comps = list(nx.strongly_connected_components(g))
+    for comp in comps:
+        m = min(comp)
+        for v in comp:
+            comp_min[v] = m
+    cg = nx.DiGraph()
+    cg.add_nodes_from({comp_min[v] for v in g})
+    for u, v in g.edges():
+        if comp_min[u] != comp_min[v]:
+            cg.add_edge(comp_min[u], comp_min[v])
+    want = {}
+    for v in nx.topological_sort(cg):
+        want[v] = max((want[u] + 1 for u in cg.predecessors(v)), default=0)
+    assert got == want
+
+
+def test_dag_layers_rejects_cycles(spark):
+    import pytest
+
+    from parallel_betweenness_centrality_using_bsp_spark.operators.scc import (
+        dag_longest_path_layers,
+    )
+
+    e = edge_df(spark, [(0, 1), (1, 2), (2, 0)])
+    with pytest.raises(ValueError, match="acyclic"):
+        dag_longest_path_layers(spark, e, max_rounds=10)
