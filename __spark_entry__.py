@@ -501,6 +501,20 @@ def doc_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean per-token unigram surprisal per doc under the corpus's own
+    unigram LM (−ln p(term)) — the curation-pipeline quality signal; the
+    SQL twin computes the identical distribution and mean."""
+    from parallel_betweenness_centrality_using_bsp_spark.operators.features import unigram_surprisal
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        unigram_surprisal(d)
+        .select("doc_id", "n_tok", F.round("surprisal", 6).alias("surprisal"))
+        .orderBy("doc_id")
+    )
+
+
 def exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """sha256-fingerprint duplicate groups (n>1) over normalized text."""
     from parallel_betweenness_centrality_using_bsp_spark.operators.dedup import exact_duplicate_groups
@@ -1657,6 +1671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cube": events_cube,
         # text + dedup
         "doc_token_stats": doc_token_stats,
+        "doc_unigram_surprisal": doc_unigram_surprisal,
         "doc_lang_id": doc_lang_id,
         "doc_quality_topk": doc_quality_topk,
         "doc_tfidf_top3": doc_tfidf_top3,
@@ -1841,6 +1856,18 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS n_bpe_tokens,
                    length(text) AS n_chars_live
             FROM documents WHERE doc_id < 200 ORDER BY doc_id
+        """,
+        "doc_unigram_surprisal": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(lower(trim(text)), '\S+')) AS term
+                FROM documents),
+            tc AS (SELECT term, count(*)::DOUBLE AS cnt FROM toks GROUP BY term),
+            tot AS (SELECT count(*)::DOUBLE AS n FROM toks)
+            SELECT t.doc_id, count(*)::BIGINT AS n_tok,
+                   round(avg(-ln(c.cnt / (SELECT n FROM tot))), 6) AS surprisal
+            FROM toks t JOIN tc c ON c.term = t.term
+            GROUP BY t.doc_id ORDER BY t.doc_id
         """,
         "doc_lang_id": f"""
             SELECT {_lang_case()} AS lang_pred, count(*) AS n_docs

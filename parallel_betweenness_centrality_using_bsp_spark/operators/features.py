@@ -140,3 +140,35 @@ def k_hop_feature_means(
             .agg(F.avg("val").alias("nbr_mean"))
         )
     return state
+
+
+def unigram_surprisal(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, n_tok, surprisal): mean per-token unigram surprisal
+    −ln(count(term)/N) under the corpus's OWN unigram distribution — the
+    cheap language-model quality signal (gibberish and boilerplate sit at
+    the distribution's extremes) a 100 TB curation pipeline computes before
+    any neural scorer.
+
+    Plan: one tokenize pass, a term-count hash agg, the corpus token total
+    as an in-plan broadcast 1-row aggregate, then a term-keyed join back —
+    the tf_idf_terms layout, balanced keys throughout.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.regexp_extract_all(F.lower(F.trim(F.col(text_col))), F.lit(r"\S+"), 0)
+        ).alias("term"),
+    ).localCheckpoint(eager=True)
+    tcounts = toks.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("cnt"))
+    tot = toks.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    return (
+        toks.join(tcounts, "term")
+        .join(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.avg(-F.log(F.col("cnt") / F.col("n"))).alias("surprisal"),
+        )
+    )

@@ -76,3 +76,25 @@ def test_deterministic_sample_stable_and_consistent(spark):
     # monotone: a smaller fraction is a subset of a larger one (stable splits)
     c = {r["doc_id"] for r in deterministic_sample(df, 0.1).collect()}
     assert c <= a
+
+
+def test_unigram_surprisal_ranks_rare_tokens_higher(spark):
+    import math
+
+    from parallel_betweenness_centrality_using_bsp_spark.operators.features import unigram_surprisal
+
+    df = spark.createDataFrame(
+        [(0, "common common common common"),
+         (1, "common common rareword unique"),
+         (2, "common common common common")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["n_tok"], r["surprisal"])
+           for r in unigram_surprisal(df).collect()}
+    assert got[0] == got[2]
+    assert got[1][1] > got[0][1]  # rare tokens raise mean surprisal
+    # doc 0: all 'common' (10 of 12 tokens) -> -ln(10/12) each
+    assert math.isclose(got[0][1], -math.log(10 / 12), rel_tol=1e-9)
+    # doc 1: 2x common + 2 singletons
+    want1 = (2 * -math.log(10 / 12) + 2 * -math.log(1 / 12)) / 4
+    assert math.isclose(got[1][1], want1, rel_tol=1e-9)
