@@ -82,3 +82,50 @@ class TableCatalog:
             df.write.mode("append").parquet(self._ident(name))
         else:
             df.write.format("iceberg").mode("append").saveAsTable(self._ident(name))
+
+    def upsert(self, name: str, updates: DataFrame, key_cols: list[str]) -> None:
+        """MERGE by key: rows matching on ``key_cols`` are replaced by the
+        update row, everything else survives, new keys are inserted.
+
+        Iceberg path: a real ``MERGE INTO`` (ACID, snapshot-isolated — the
+        100 TB shape; only touched files rewrite).  Parquet fallback:
+        anti-join survivors + union, staged to a temp dir and swapped in —
+        correct for a single writer, documented as non-atomic on object
+        stores (that is exactly what the Iceberg path exists for).
+        ``updates`` must be unique per key (enforced — an ambiguous MERGE
+        source is an error in every engine).
+        """
+        from pyspark.sql import functions as F
+
+        dup = (
+            updates.groupBy(*key_cols)
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .where(F.col("_n") > 1)
+        )
+        if not dup.isEmpty():
+            raise ValueError(f"upsert updates contain duplicate keys on {key_cols}")
+
+        ident = self._ident(name)
+        if not self.is_path:
+            updates.createOrReplaceTempView("_upsert_src")
+            on = " AND ".join(f"t.{c} = s.{c}" for c in key_cols)
+            self.spark.sql(
+                f"MERGE INTO {ident} t USING _upsert_src s ON {on} "
+                "WHEN MATCHED THEN UPDATE SET * "
+                "WHEN NOT MATCHED THEN INSERT *"
+            )
+            return
+
+        existing = self.spark.read.parquet(ident)
+        merged = existing.join(updates.select(*key_cols), key_cols, "left_anti").unionByName(
+            updates
+        )
+        tmp = f"{ident}__upsert_tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        jvm = self.spark.sparkContext._jvm
+        conf = self.spark.sparkContext._jsc.hadoopConfiguration()
+        dst = jvm.org.apache.hadoop.fs.Path(ident)
+        src = jvm.org.apache.hadoop.fs.Path(tmp)
+        fs = dst.getFileSystem(conf)
+        fs.delete(dst, True)
+        fs.rename(src, dst)

@@ -33,3 +33,31 @@ def test_iceberg_namespace_requires_runtime(spark):
     assert not iceberg_available(spark)
     with pytest.raises(ValueError, match="Iceberg"):
         TableCatalog(spark, "lake.engine")
+
+
+def test_parquet_upsert_merges_by_key(spark, tmp_path):
+    from parallel_betweenness_centrality_using_bsp_spark.sources.catalog import TableCatalog
+
+    cat = TableCatalog(spark, str(tmp_path))
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "id long, name string, v long"
+    )
+    cat.overwrite("docs", base)
+    updates = spark.createDataFrame(
+        [(2, "B2", 200), (4, "d", 40)], "id long, name string, v long"
+    )
+    cat.upsert("docs", updates, ["id"])
+    got = sorted(map(tuple, cat.read("docs").collect()))
+    assert got == [(1, "a", 10), (2, "B2", 200), (3, "c", 30), (4, "d", 40)]
+
+
+def test_parquet_upsert_rejects_duplicate_update_keys(spark, tmp_path):
+    import pytest
+
+    from parallel_betweenness_centrality_using_bsp_spark.sources.catalog import TableCatalog
+
+    cat = TableCatalog(spark, str(tmp_path))
+    cat.overwrite("t", spark.createDataFrame([(1, "x")], "id long, s string"))
+    dup = spark.createDataFrame([(1, "y"), (1, "z")], "id long, s string")
+    with pytest.raises(ValueError, match="duplicate keys"):
+        cat.upsert("t", dup, ["id"])
