@@ -243,3 +243,42 @@ def test_stream_exact_dedup_emits_first_occurrence_only(spark, tmp_path):
     assert len(fps) == len(set(fps)) == 3  # alpha (normalized dup dropped), beta, gamma
     texts = {r["text"] for r in rows}
     assert "gamma text" in texts and len({t.lower().split()[0] for t in texts}) == 3
+
+
+def test_stream_static_enrichment_matches_batch(spark, tmp_path):
+    """Stream-static join: every streamed event is enriched against the
+    static dimension (broadcast), unknown keys flow through with nulls,
+    and the output matches the batch form of the same transform."""
+    import datetime
+
+    from parallel_betweenness_centrality_using_bsp_spark.streaming.enrich import enrich_events
+    from parallel_betweenness_centrality_using_bsp_spark.streaming.events import EVENTS_SCHEMA
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [(i, base + datetime.timedelta(minutes=i), i % 4, "click", 1.0, "{}")
+            for i in range(12)]
+    df = spark.createDataFrame(rows, EVENTS_SCHEMA)
+    dim = spark.createDataFrame(
+        [(0, "bronze"), (1, "silver"), (2, "gold")],  # user 3 missing on purpose
+        "user_id long, tier string",
+    )
+    src = str(tmp_path / "src")
+    df.coalesce(1).write.parquet(src)
+
+    key = lambda r: (r["event_id"], r["tier"])
+    want = {key(r) for r in enrich_events(df, dim).collect()}
+
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(src)
+    q = (
+        enrich_events(stream, dim)
+        .writeStream.format("memory")
+        .queryName("enriched")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {key(r) for r in spark.sql("SELECT * FROM enriched").collect()}
+    assert got == want
+    assert any(t is None for _, t in got)  # user 3's events kept with null tier
