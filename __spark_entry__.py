@@ -1233,6 +1233,48 @@ FROM nonadj ORDER BY round(aa, 6) DESC, a, b LIMIT {AA_TOPK}
 """
 
 
+DIAM_SWEEP_CAP = 60  # recursive-CTE depth cap; far above any fixture diameter
+
+
+def graph_diameter_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Double-sweep diameter lower bound on the sparsified undirected
+    graph: BFS from the minimum vertex, then BFS from the farthest vertex
+    found (ties → lowest id) — (far_vertex, ecc_lb, n_reached).  The twin
+    chains two recursive-CTE BFS passes."""
+    from parallel_betweenness_centrality_using_bsp_spark.operators.bfs import double_sweep_diameter
+
+    e = _order_edges_sparse(spark, sf_dir)
+    return double_sweep_diameter(spark, e)
+
+
+def _diameter_sweep_sql() -> str:
+    return f"""
+WITH RECURSIVE {_EDGES_SPARSE_SQL},
+  und AS (SELECT DISTINCT src, dst FROM (
+      SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges)),
+  verts AS (SELECT DISTINCT src AS vertex FROM und),
+  s0 AS (SELECT min(vertex) AS s FROM verts),
+  w1(v, d) AS (
+    SELECT (SELECT s FROM s0), 0
+    UNION
+    SELECT u.dst, w.d + 1 FROM w1 w JOIN und u ON u.src = w.v
+    WHERE w.d < {DIAM_SWEEP_CAP}
+  ),
+  d1 AS (SELECT v, min(d) AS d FROM w1 GROUP BY v),
+  far AS (SELECT v FROM d1 ORDER BY d DESC, v LIMIT 1),
+  w2(v, d) AS (
+    SELECT (SELECT v FROM far), 0
+    UNION
+    SELECT u.dst, w.d + 1 FROM w2 w JOIN und u ON u.src = w.v
+    WHERE w.d < {DIAM_SWEEP_CAP}
+  ),
+  d2 AS (SELECT v, min(d) AS d FROM w2 GROUP BY v)
+SELECT (SELECT v FROM far)::BIGINT AS far_vertex,
+       max(d)::INT AS ecc_lb, count(*)::BIGINT AS n_reached
+FROM d2
+"""
+
+
 SSSP_HOPS = 8
 
 
@@ -1697,6 +1739,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_labelprop3": graph_labelprop3,
         "graph_betweenness": graph_betweenness,
         "graph_bfs_dist": graph_bfs_dist,
+        "graph_diameter_sweep": graph_diameter_sweep,
         "graph_sssp": graph_sssp,
         "graph_hits3": graph_hits3,
         "graph_adamic_adar": graph_adamic_adar,
@@ -2003,6 +2046,7 @@ def oracle_sql() -> dict[str, str]:
             FROM walk GROUP BY s, v ORDER BY source, vertex
         """,
         "graph_kcore": _kcore_sql(),
+        "graph_diameter_sweep": _diameter_sweep_sql(),
         "graph_eccentricity": f"""
             WITH RECURSIVE {_EDGES_SQL},
             src AS (SELECT vertex AS s FROM vertices WHERE vertex < 8),

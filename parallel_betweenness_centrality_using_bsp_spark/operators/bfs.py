@@ -68,3 +68,37 @@ def bfs_distances(
         out = out.unionByName(lv)
     e.unpersist()
     return out
+
+
+def double_sweep_diameter(
+    spark: SparkSession,
+    edges: DataFrame,
+    *,
+    start: int | None = None,
+    directed: bool = False,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """One-row (far_vertex, ecc_lb, n_reached): the double-sweep diameter
+    lower bound (Magnien-Latapy-Habib) — BFS from a start vertex (minimum
+    id by default), then BFS from the farthest vertex found (ties → lowest
+    id); that vertex's eccentricity lower-bounds the diameter and is exact
+    on trees.  Two BFS waves total, each the standard frontier plan; the
+    only driver-side values are two scalar vertex ids.
+    """
+    if start is None:
+        both = edges.select(F.col("src").alias("v")).unionByName(
+            edges.select(F.col("dst").alias("v"))
+        )
+        start = both.agg(F.min("v")).first()[0]
+    d1 = bfs_distances(
+        spark, edges, [int(start)], directed=directed, num_partitions=num_partitions
+    )
+    far = d1.orderBy(F.desc("dist"), F.asc("vertex")).select("vertex").first()[0]
+    d2 = bfs_distances(
+        spark, edges, [int(far)], directed=directed, num_partitions=num_partitions
+    )
+    return d2.agg(
+        F.lit(int(far)).cast("long").alias("far_vertex"),
+        F.max("dist").alias("ecc_lb"),
+        F.count(F.lit(1)).alias("n_reached"),
+    )

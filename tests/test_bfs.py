@@ -53,3 +53,30 @@ def test_long_diameter_path_graph(spark):
         for r in bfs_distances(spark, edge_df(spark, path_graph_edges(n)), [0]).collect()
     }
     assert got == {(0, v): v for v in range(n)}
+
+
+def test_double_sweep_diameter_exact_on_tree_and_bounded_on_er(spark):
+    import networkx as nx
+
+    from parallel_betweenness_centrality_using_bsp_spark.operators.bfs import double_sweep_diameter
+    from parallel_betweenness_centrality_using_bsp_spark.sources.graphs import edge_df
+
+    from tests.oracles import er_graph
+
+    # tree (path with branches): double sweep is EXACT on trees
+    tree = [(0, 1), (1, 2), (2, 3), (3, 4), (2, 5), (5, 6), (1, 7)]
+    row = double_sweep_diameter(spark, edge_df(spark, tree)).first()
+    g = nx.Graph(tree)
+    assert row["ecc_lb"] == nx.diameter(g)
+    assert row["n_reached"] == g.number_of_nodes()
+
+    # general graph: a valid lower bound, tight or not
+    edges = er_graph(n=80, p=0.06, seed=31)
+    g2 = nx.Graph(edges)
+    comp = max(nx.connected_components(g2), key=len)
+    row2 = double_sweep_diameter(spark, edge_df(spark, edges)).first()
+    # start = min vertex; its component's diameter bounds the sweep result
+    start_comp = nx.node_connected_component(g2, min(g2.nodes()))
+    diam = nx.diameter(g2.subgraph(start_comp))
+    assert 1 <= row2["ecc_lb"] <= diam
+    assert row2["n_reached"] == len(start_comp)
