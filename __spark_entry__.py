@@ -796,6 +796,22 @@ def graph_labelprop3(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run.state.orderBy("vertex")
 
 
+def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the 3-round LPA communities — composes the LPA
+    kernel with the modularity aggregation; the twin extends the unrolled
+    lp3 CTEs with the identical Q computation."""
+    from parallel_betweenness_centrality_using_bsp_spark.operators.labelprop import (
+        label_propagation,
+        modularity,
+    )
+
+    e = _order_edges(spark, sf_dir)
+    labels = label_propagation(spark, e, max_supersteps=3).state
+    return modularity(spark, e, labels).select(
+        "n_communities", F.round("modularity", 6).alias("modularity")
+    )
+
+
 BC_SOURCE_CAP = 64  # betweenness partial sums over sources with id < cap
 BC_MAX_DEPTH = 12   # > graph diameter at every sf (measured: 8 @ sf0.001, 3 @ sf0.01)
 
@@ -1665,8 +1681,9 @@ def _ann_quantized_sql(k: int = 10, bits: int = 8, probe_hamming: int = 1, seed:
     """
 
 
-def _labelprop3_sql() -> str:
-    """3 unrolled synchronous LPA rounds matching operators/labelprop.py."""
+def _labelprop3_ctes() -> str:
+    """The shared CTE body: edge derivation + 3 unrolled synchronous LPA
+    rounds matching operators/labelprop.py (final labels in ``lp3``)."""
     parts = [
         f"WITH {_EDGES_SQL},",
         """
@@ -1688,8 +1705,28 @@ def _labelprop3_sql() -> str:
             FROM {p} p LEFT JOIN best{k} b ON b.vertex = p.vertex)
 """
         )
-    parts.append("SELECT vertex, label FROM lp3 ORDER BY vertex")
     return "".join(parts)
+
+
+def _labelprop3_sql() -> str:
+    return _labelprop3_ctes() + "SELECT vertex, label FROM lp3 ORDER BY vertex"
+
+
+def _modularity_sql() -> str:
+    """Modularity of the 3-round LPA communities — composes the lp3 CTEs
+    with the Q aggregation (inner_c/2m − (D_c/2m)² summed per community)."""
+    return _labelprop3_ctes() + """,
+  j AS (SELECT u.src, u.dst, a.label AS la, b.label AS lb
+        FROM und u JOIN lp3 a ON a.vertex = u.src JOIN lp3 b ON b.vertex = u.dst),
+  m2 AS (SELECT count(*)::DOUBLE AS m2 FROM j),
+  degmass AS (SELECT la, count(*)::DOUBLE AS dc FROM j GROUP BY la),
+  inner_c AS (SELECT la, count(*)::DOUBLE AS ic FROM j WHERE la = lb GROUP BY la),
+  per AS (SELECT d.la,
+                 coalesce(i.ic, 0.0) / (SELECT m2 FROM m2)
+                 - (d.dc / (SELECT m2 FROM m2)) ^ 2 AS q
+          FROM degmass d LEFT JOIN inner_c i ON i.la = d.la)
+SELECT count(*)::BIGINT AS n_communities, round(sum(q), 6) AS modularity FROM per
+"""
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1737,6 +1774,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_pagerank5_weighted": graph_pagerank5_weighted,
         "graph_ppr5": graph_ppr5,
         "graph_labelprop3": graph_labelprop3,
+        "graph_modularity": graph_modularity,
         "graph_betweenness": graph_betweenness,
         "graph_bfs_dist": graph_bfs_dist,
         "graph_diameter_sweep": graph_diameter_sweep,
@@ -2032,6 +2070,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_pagerank5_weighted": _pagerank5_weighted_sql(),
         "graph_ppr5": _pagerank5_sql(_PPR_TELE_SQL),
         "graph_labelprop3": _labelprop3_sql(),
+        "graph_modularity": _modularity_sql(),
         "graph_betweenness": _betweenness_sql(),
         "graph_bfs_dist": f"""
             WITH RECURSIVE {_EDGES_SQL},

@@ -100,3 +100,43 @@ def label_propagation(
     )
     und.unpersist()
     return run
+
+
+def modularity(spark: SparkSession, edges: DataFrame, labels: DataFrame,
+               label_col: str = "label") -> DataFrame:
+    """One row (n_communities, modularity) — Newman modularity
+    Q = Σ_c [ inner_c/2m − (D_c/2m)² ] of a vertex partition, the standard
+    community-quality score (counts over the symmetrized edge set: 2m rows,
+    inner_c = same-community rows, D_c = degree mass of community c).
+
+    Plan: two label joins onto the undirected edges + two hash aggs keyed
+    by community — balanced unless one community holds most vertices, in
+    which case the aggregation's map-side combine already collapses the
+    skew.  The 2m total rides in-plan as a broadcast 1-row aggregate.
+    """
+    und = symmetrize(edges).localCheckpoint(eager=True)
+    la = labels.select(F.col("vertex").alias("src"), F.col(label_col).alias("la"))
+    lb = labels.select(F.col("vertex").alias("dst"), F.col(label_col).alias("lb"))
+    j = und.join(la, "src").join(lb, "dst").localCheckpoint(eager=True)
+    m2 = j.agg(F.count(F.lit(1)).cast("double").alias("m2"))
+    inner = (
+        j.where(F.col("la") == F.col("lb"))
+        .groupBy("la")
+        .agg(F.count(F.lit(1)).cast("double").alias("inner_c"))
+    )
+    degmass = j.groupBy("la").agg(F.count(F.lit(1)).cast("double").alias("dc"))
+    per = (
+        degmass.join(inner, "la", "left")
+        .join(F.broadcast(m2))
+        .select(
+            "la",
+            (
+                F.coalesce(F.col("inner_c"), F.lit(0.0)) / F.col("m2")
+                - (F.col("dc") / F.col("m2")) ** 2
+            ).alias("q"),
+        )
+    )
+    return per.agg(
+        F.count(F.lit(1)).alias("n_communities"),
+        F.sum("q").alias("modularity"),
+    )
