@@ -87,6 +87,15 @@ def main() -> None:
 
     timed("triangle_count", lambda: triangle_count(spark, g))
 
+    from parallel_betweenness_centrality_using_bsp_spark.operators.hits import hits as _hits
+    from parallel_betweenness_centrality_using_bsp_spark.operators.scc import (
+        strongly_connected_components as _scc,
+    )
+
+    timed("hits_3iter", lambda: _hits(spark, g, tol=0.0, max_supersteps=3, count_rows=False))
+    throughput["hits_iters_per_sec"] = round(3 / queries["hits_3iter"], 4)
+    timed("scc", lambda: _scc(spark, g).count())
+
     # Warm-up + min-of-2 for the kernel-bound headline (r1 recorded a 25.1s
     # outlier vs its own 11.0-15.6s range — contention from prior JVM work):
     # a tiny sweep first starts/JITs the Python workers, then the best of two
