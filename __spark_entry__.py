@@ -1072,6 +1072,40 @@ _EDGES_SPARSE_SQL = f"""
 """
 
 
+KTRUSS_K = 4
+KTRUSS_ROUNDS = 3
+
+
+def graph_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-truss peeling (k=KTRUSS_K=4, exactly 3 rounds — fixed rounds keep
+    the oracle quantity pinned mid-cascade): the surviving symmetrized edge
+    set.  At sf0.01 the cascade is genuine: 29500 → 6760 → 1386 → 458
+    edges, so every peel round does real work in both engines."""
+    from parallel_betweenness_centrality_using_bsp_spark.operators.truss import k_truss
+
+    e = _order_edges(spark, sf_dir)
+    return k_truss(spark, e, KTRUSS_K, fixed_rounds=KTRUSS_ROUNDS).orderBy("src", "dst")
+
+
+def _ktruss_sql() -> str:
+    ms = KTRUSS_K - 2
+    parts = [f"WITH {_EDGES_SQL},", """
+  e0 AS MATERIALIZED (SELECT src, dst FROM und)
+"""]
+    prev = "e0"
+    for i in range(1, KTRUSS_ROUNDS + 1):
+        parts.append(f""",
+  e{i} AS MATERIALIZED (
+    SELECT x.src, x.dst FROM {prev} x
+    JOIN {prev} a ON a.src = x.src
+    JOIN {prev} b ON b.src = x.dst AND b.dst = a.dst
+    GROUP BY x.src, x.dst HAVING count(*) >= {ms})
+""")
+        prev = f"e{i}"
+    parts.append(f"SELECT src, dst FROM {prev} ORDER BY src, dst")
+    return "".join(parts)
+
+
 def graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Strongly connected components (coloring algorithm, nested BSP
     loops) on the DIRECTED sparsified edge set (75 nontrivial SCCs at
@@ -1787,6 +1821,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_harmonic": graph_harmonic,
         "graph_eccentricity": graph_eccentricity,
         "graph_kcore": graph_kcore,
+        "graph_ktruss": graph_ktruss,
         "graph_neighbor_features": graph_neighbor_features,
         "graph_neighbor_features_2hop": graph_neighbor_features_2hop,
         "graph_random_walks": graph_random_walks,
@@ -2085,6 +2120,7 @@ def oracle_sql() -> dict[str, str]:
             FROM walk GROUP BY s, v ORDER BY source, vertex
         """,
         "graph_kcore": _kcore_sql(),
+        "graph_ktruss": _ktruss_sql(),
         "graph_diameter_sweep": _diameter_sweep_sql(),
         "graph_eccentricity": f"""
             WITH RECURSIVE {_EDGES_SQL},
