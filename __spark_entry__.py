@@ -796,6 +796,51 @@ def graph_labelprop3(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run.state.orderBy("vertex")
 
 
+def graph_labelprop3_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3 synchronous WEIGHTED LPA rounds (argmax over summed integral edge
+    weight w=(src+dst)%7+1 — symmetric by construction); deterministic
+    (weight desc, label asc) order keeps the unrolled SQL twin
+    bit-identical."""
+    from parallel_betweenness_centrality_using_bsp_spark.operators.labelprop import label_propagation
+
+    e = _order_edges(spark, sf_dir).select(
+        "src", "dst", ((F.col("src") + F.col("dst")) % 7 + 1).alias("w")
+    )
+    run = label_propagation(spark, e, max_supersteps=3, weight_col="w")
+    return run.state.orderBy("vertex")
+
+
+def _labelprop3_weighted_sql() -> str:
+    parts = [
+        f"WITH {_EDGES_SQL},",
+        """
+  und_w AS (SELECT src, dst, sum(w)::BIGINT AS w FROM (
+      SELECT src AS src, dst AS dst, (src + dst) % 7 + 1 AS w FROM edges
+      UNION ALL
+      SELECT dst AS src, src AS dst, (src + dst) % 7 + 1 AS w FROM edges)
+    WHERE src != dst GROUP BY src, dst),
+  lp0 AS (SELECT vertex, vertex AS label FROM vertices)
+""",
+    ]
+    for k in range(1, 4):
+        p = f"lp{k - 1}"
+        parts.append(
+            f""",
+  cnt{k} AS (SELECT u.dst AS vertex, p.label, sum(u.w) AS cnt
+             FROM {p} p JOIN und_w u ON u.src = p.vertex
+             GROUP BY u.dst, p.label),
+  best{k} AS (SELECT vertex, label FROM (
+      SELECT vertex, label,
+             row_number() OVER (PARTITION BY vertex ORDER BY cnt DESC, label ASC) AS rn
+      FROM cnt{k}) WHERE rn = 1),
+  lp{k} AS (SELECT p.vertex, coalesce(b.label, p.label) AS label
+            FROM {p} p LEFT JOIN best{k} b ON b.vertex = p.vertex)
+"""
+        )
+    parts.append("SELECT vertex, label FROM lp3 ORDER BY vertex")
+    return "".join(parts)
+
+
 def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Newman modularity of the 3-round LPA communities — composes the LPA
     kernel with the modularity aggregation; the twin extends the unrolled
@@ -1808,6 +1853,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_pagerank5_weighted": graph_pagerank5_weighted,
         "graph_ppr5": graph_ppr5,
         "graph_labelprop3": graph_labelprop3,
+        "graph_labelprop3_weighted": graph_labelprop3_weighted,
         "graph_modularity": graph_modularity,
         "graph_betweenness": graph_betweenness,
         "graph_bfs_dist": graph_bfs_dist,
@@ -2105,6 +2151,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_pagerank5_weighted": _pagerank5_weighted_sql(),
         "graph_ppr5": _pagerank5_sql(_PPR_TELE_SQL),
         "graph_labelprop3": _labelprop3_sql(),
+        "graph_labelprop3_weighted": _labelprop3_weighted_sql(),
         "graph_modularity": _modularity_sql(),
         "graph_betweenness": _betweenness_sql(),
         "graph_bfs_dist": f"""

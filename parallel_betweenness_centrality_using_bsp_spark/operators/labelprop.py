@@ -39,24 +39,45 @@ def label_propagation(
     resume_state: DataFrame | None = None,
     start_step: int = 0,
     count_rows: bool = True,
+    weight_col: str | None = None,
 ) -> SuperstepRun:
     """Returns run whose state is (vertex long, label long).
 
     ``resume_state``/``start_step`` restart a checkpointed run mid-iteration.
     ``count_rows=False`` elides the per-superstep row-count job (pure
-    observability) — worthwhile when supersteps are short.
+    observability) — worthwhile when supersteps are short.  ``weight_col``
+    runs WEIGHTED LPA: the argmax is over the summed edge weight per
+    neighbor label instead of the neighbor count — weights must be
+    INTEGRAL so the (weight desc, label asc) order stays exact in every
+    engine (the exact-match determinism rule); weights of parallel /
+    both-direction edges between a pair sum.
     """
     p = num_partitions or spark.sparkContext.defaultParallelism
-    und = symmetrize(edges).repartition(p, "src").persist()
+    if weight_col is not None:
+        e = edges.select("src", "dst", F.col(weight_col).cast("long").alias("_w"))
+        und = (
+            e.unionByName(
+                e.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "_w")
+            )
+            .where(F.col("src") != F.col("dst"))
+            .groupBy("src", "dst")
+            .agg(F.sum("_w").alias("_w"))
+            .repartition(p, "src")
+            .persist()
+        )
+    else:
+        und = symmetrize(edges).repartition(p, "src").persist()
     vertices = und.select(F.col("src").alias("vertex")).distinct()
     initial = vertices.withColumn("label", F.col("vertex"))
 
     def step(state: DataFrame, _k: int) -> DataFrame:
+        cols = ["label"] if weight_col is None else ["label", "_w"]
         neigh = (
             state.join(und, state.vertex == und.src)
-            .select(und.dst.alias("vertex"), "label")
+            .select(und.dst.alias("vertex"), *cols)
         )
-        counted = neigh.groupBy("vertex", "label").agg(F.count(F.lit(1)).alias("cnt"))
+        vote = F.count(F.lit(1)) if weight_col is None else F.sum("_w")
+        counted = neigh.groupBy("vertex", "label").agg(vote.alias("cnt"))
         # Deterministic argmax (count desc, label asc) via window row_number.
         # Measured alternative (struct-max / max_by aggregation) loses:
         # struct-typed aggregation buffers force SortAggregate on BOTH sides

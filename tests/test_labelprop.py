@@ -37,3 +37,45 @@ def test_modularity_matches_networkx(spark):
     want = nx.community.modularity(g, [set(range(5)), set(range(5, 10))])
     assert row["n_communities"] == 2
     assert np.isclose(row["modularity"], want, atol=1e-9)
+
+
+def test_weighted_lpa_follows_heavy_edges(spark):
+    from parallel_betweenness_centrality_using_bsp_spark.operators.labelprop import label_propagation
+    from pyspark.sql import functions as F
+
+    # star: center 0 with 3 light neighbors (w=1) and 1 heavy neighbor (w=10).
+    # Unweighted LPA gives 0 the smallest neighbor label (1); weighted LPA
+    # must adopt the heavy neighbor's label (4).
+    e = spark.createDataFrame(
+        [(0, 1, 1), (0, 2, 1), (0, 3, 1), (0, 4, 10)], "src long, dst long, w long"
+    )
+    run_u = label_propagation(spark, e.select("src", "dst"), max_supersteps=1)
+    run_w = label_propagation(spark, e, max_supersteps=1, weight_col="w")
+    lab_u = {r["vertex"]: r["label"] for r in run_u.state.collect()}
+    lab_w = {r["vertex"]: r["label"] for r in run_w.state.collect()}
+    assert lab_u[0] == 1
+    assert lab_w[0] == 4
+    # leaves see only the center either way
+    assert all(lab_w[v] == 0 for v in (1, 2, 3, 4))
+
+
+def test_weighted_lpa_uniform_weights_match_unweighted(spark):
+    from parallel_betweenness_centrality_using_bsp_spark.operators.labelprop import label_propagation
+    from parallel_betweenness_centrality_using_bsp_spark.sources.graphs import edge_df
+    from pyspark.sql import functions as F
+
+    from tests.oracles import er_graph
+
+    edges = er_graph(n=50, p=0.1, seed=25)
+    e = edge_df(spark, edges)
+    plain = {
+        r["vertex"]: r["label"]
+        for r in label_propagation(spark, e, max_supersteps=3).state.collect()
+    }
+    w1 = {
+        r["vertex"]: r["label"]
+        for r in label_propagation(
+            spark, e.withColumn("w", F.lit(1)), max_supersteps=3, weight_col="w"
+        ).state.collect()
+    }
+    assert plain == w1
