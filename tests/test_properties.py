@@ -73,3 +73,24 @@ def test_pagerank_mass_conserved(spark, edges):
     total = run.state.agg(F.sum("pr")).collect()[0][0]
     assert abs(total - 1.0) < 1e-9
     assert run.state.where(F.col("pr") <= 0).count() == 0
+
+
+@given(edges=edge_lists)
+@SLOW
+def test_scc_matches_networkx_exactly(spark, edges):
+    import networkx as nx
+
+    from parallel_betweenness_centrality_using_bsp_spark.operators.scc import (
+        strongly_connected_components,
+    )
+
+    got = df_to_dict(
+        strongly_connected_components(spark, edge_df(spark, edges)), "vertex", "scc"
+    )
+    g = nx.DiGraph(edges)
+    want = {}
+    for comp in nx.strongly_connected_components(g):
+        m = min(comp)
+        for v in comp:
+            want[v] = m
+    assert got == want
