@@ -841,6 +841,39 @@ def _labelprop3_weighted_sql() -> str:
     return "".join(parts)
 
 
+def graph_community_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-community embedding centroids (first 4 dims) + member counts
+    for the 3-round LPA communities — the cross-modal graph × embeddings
+    composition; the twin extends the lp3 CTEs with the identical
+    unnest + averages."""
+    from parallel_betweenness_centrality_using_bsp_spark.operators.features import (
+        community_feature_centroids,
+    )
+    from parallel_betweenness_centrality_using_bsp_spark.operators.labelprop import label_propagation
+
+    e = _order_edges(spark, sf_dir)
+    labels = label_propagation(spark, e, max_supersteps=3).state
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        community_feature_centroids(labels, emb, dims=4)
+        .select("label", "pos", F.round("centroid", 6).alias("centroid"), "size")
+        .orderBy("label", "pos")
+    )
+
+
+def _community_centroids_sql() -> str:
+    return _labelprop3_ctes() + """,
+  f AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+  j AS (SELECT l.label, f.v FROM lp3 l JOIN f ON f.vec_id = l.vertex),
+  sz AS (SELECT label, count(*)::BIGINT AS size FROM j GROUP BY label),
+  ex AS (SELECT label, g.i - 1 AS pos, v[g.i] AS val
+         FROM j CROSS JOIN generate_series(1, 4) AS g(i))
+SELECT e.label, e.pos, round(avg(e.val), 6) AS centroid, sz.size
+FROM ex e JOIN sz ON sz.label = e.label
+GROUP BY e.label, e.pos, sz.size ORDER BY e.label, e.pos
+"""
+
+
 def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Newman modularity of the 3-round LPA communities — composes the LPA
     kernel with the modularity aggregation; the twin extends the unrolled
@@ -1855,6 +1888,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_labelprop3": graph_labelprop3,
         "graph_labelprop3_weighted": graph_labelprop3_weighted,
         "graph_modularity": graph_modularity,
+        "graph_community_centroids": graph_community_centroids,
         "graph_betweenness": graph_betweenness,
         "graph_bfs_dist": graph_bfs_dist,
         "graph_diameter_sweep": graph_diameter_sweep,
@@ -2153,6 +2187,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_labelprop3": _labelprop3_sql(),
         "graph_labelprop3_weighted": _labelprop3_weighted_sql(),
         "graph_modularity": _modularity_sql(),
+        "graph_community_centroids": _community_centroids_sql(),
         "graph_betweenness": _betweenness_sql(),
         "graph_bfs_dist": f"""
             WITH RECURSIVE {_EDGES_SQL},

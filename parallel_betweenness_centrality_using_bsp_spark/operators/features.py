@@ -172,3 +172,33 @@ def unigram_surprisal(
             F.avg(-F.log(F.col("cnt") / F.col("n"))).alias("surprisal"),
         )
     )
+
+
+def community_feature_centroids(
+    labels: DataFrame,
+    features: DataFrame,
+    *,
+    dims: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """(label, pos, centroid, size) — per-community mean of the first
+    ``dims`` embedding dimensions plus the member count: the cross-modal
+    composition (graph communities × embedding features) a curation
+    pipeline uses to characterize clusters.  Long scalar layout like
+    ``neighbor_feature_means``: one join keyed by vertex + two hash aggs
+    keyed by community — balanced, map-side combined.
+    """
+    f = features.select(F.col(id_col).alias("vertex"), F.col(vec_col).alias("_v"))
+    j = labels.select("vertex", F.col(label_col).alias("label")).join(f, "vertex")
+    j = j.localCheckpoint(eager=True)  # sizes + explode share one scan
+    sizes = j.groupBy("label").agg(F.count(F.lit(1)).alias("size"))
+    ex = j.select(
+        "label",
+        F.posexplode(F.slice(F.col("_v").cast("array<double>"), 1, dims)).alias(
+            "pos", "val"
+        ),
+    )
+    cent = ex.groupBy("label", "pos").agg(F.avg("val").alias("centroid"))
+    return cent.join(sizes, "label")

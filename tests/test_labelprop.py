@@ -79,3 +79,26 @@ def test_weighted_lpa_uniform_weights_match_unweighted(spark):
         ).state.collect()
     }
     assert plain == w1
+
+
+def test_community_centroids_exact(spark):
+    import numpy as np
+
+    from parallel_betweenness_centrality_using_bsp_spark.operators.features import (
+        community_feature_centroids,
+    )
+
+    labels = spark.createDataFrame(
+        [(0, 7), (1, 7), (2, 9), (5, 9)], "vertex long, label long"
+    )
+    emb = spark.createDataFrame(
+        [(0, [1.0, 2.0, 0.0]), (1, [3.0, 4.0, 0.0]), (2, [10.0, 0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )  # vertex 5 has no embedding: inner join drops it from label 9's stats
+    got = {
+        (r["label"], r["pos"]): (r["centroid"], r["size"])
+        for r in community_feature_centroids(labels, emb, dims=2).collect()
+    }
+    assert got[(7, 0)] == (2.0, 2) and got[(7, 1)] == (3.0, 2)
+    assert got[(9, 0)] == (10.0, 1) and got[(9, 1)] == (0.0, 1)
+    assert len(got) == 4  # dims=2 per community, third dim excluded
