@@ -38,13 +38,22 @@ def connected_components(
     start_step: int = 0,
     algorithm: str = "hashmin",
     count_rows: bool = True,
+    bucket_state: bool = False,
 ) -> SuperstepRun:
     """``algorithm="hashmin"`` (default): label diffusion, O(diameter) rounds
     — right for small-diameter web/import graphs.  ``algorithm="starcontract"``:
     alternating large-star/small-star contraction (Kiveris et al., "Connected
     Components in MapReduce and Beyond", SoCC 2014), O(log n) rounds — right
-    for long-chain graphs where diameter ≫ log n."""
+    for long-chain graphs where diameter ≫ log n.  ``bucket_state=True``
+    (hashmin + ``checkpoint_dir`` only) buckets each superstep's label table
+    on ``vertex`` so the next round's state×edges join skips the state-side
+    exchange."""
     if algorithm == "starcontract":
+        if bucket_state:
+            raise ValueError(
+                "bucket_state is only supported with algorithm='hashmin' "
+                "(star contraction's edge-set state has no stable join key)"
+            )
         if resume_state is not None or start_step:
             # Star contraction's superstep state is the contracting EDGE SET,
             # shape-incompatible with hash-min's (vertex, label) checkpoints;
@@ -73,6 +82,7 @@ def connected_components(
         resume_state=resume_state,
         start_step=start_step,
         count_rows=count_rows,
+        bucket_state=bucket_state,
     )
 
 
@@ -87,6 +97,7 @@ def _hashmin(
     resume_state: DataFrame | None = None,
     start_step: int = 0,
     count_rows: bool = True,
+    bucket_state: bool = False,
 ) -> SuperstepRun:
     """Returns run whose state is (vertex long, label long).
 
@@ -142,6 +153,7 @@ def _hashmin(
         run_id=run_id,
         start_step=start_step,
         count_rows=count_rows,
+        bucket_state_by=["vertex"] if bucket_state else None,
     )
     und.unpersist()
     return run

@@ -58,10 +58,22 @@ DEFAULT_MAX_BUCKET_SIZE = 10_000
 
 
 def cap_buckets(
-    df: DataFrame, key_cols: list[str], max_bucket_size: int, what: str
+    df: DataFrame,
+    key_cols: list[str],
+    max_bucket_size: int,
+    what: str,
+    drop_stats: dict | None = None,
 ) -> DataFrame:
     """Drop LSH buckets larger than ``max_bucket_size`` — and LOG what was
-    dropped (the survey's skew rule: no silent caps).
+    dropped (the survey's skew rule: no silent caps).  Pass a dict as
+    ``drop_stats`` to ALSO receive ``{"dropped_buckets": int,
+    "dropped_rows": int}`` programmatically — pipelines that must alert on
+    recall loss shouldn't have to scrape logs.
+
+    .. note:: since r3 the near-dup entry points (minhash/simhash/embedding)
+       default to ``max_bucket_size=DEFAULT_MAX_BUCKET_SIZE`` (10,000) —
+       previously uncapped.  Callers that need every candidate pair from
+       degenerate buckets must opt out with ``max_bucket_size=None``.
 
     A degenerate bucket (boilerplate-heavy corpus, constant shingle) makes
     the bucket self-join quadratic: one 10^6-row bucket is 10^12 candidate
@@ -80,6 +92,9 @@ def cap_buckets(
     stats = over.agg(
         F.count(F.lit(1)).alias("buckets"), F.coalesce(F.sum("_n"), F.lit(0)).alias("rows")
     ).first()
+    if drop_stats is not None:
+        drop_stats["dropped_buckets"] = int(stats["buckets"])
+        drop_stats["dropped_rows"] = int(stats["rows"])
     if not stats["buckets"]:
         # common case: nothing oversized — keep the anti-join out of the
         # plan entirely instead of joining against an empty set
@@ -130,6 +145,7 @@ def minhash_candidate_pairs(
     seed: int = 42,
     hash_family: str = "xxhash64",
     max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+    drop_stats: dict | None = None,
 ) -> DataFrame:
     """(a, b) candidate pairs sharing ≥1 LSH band bucket, a < b, distinct.
 
@@ -160,7 +176,8 @@ def minhash_candidate_pairs(
         .localCheckpoint(eager=True)
     )
     if max_bucket_size is not None:
-        sig = cap_buckets(sig, ["band", "bh"], max_bucket_size, "minhash_candidate_pairs")
+        sig = cap_buckets(sig, ["band", "bh"], max_bucket_size,
+                          "minhash_candidate_pairs", drop_stats)
     left = sig.alias("l")
     right = sig.alias("r")
     return (
@@ -208,12 +225,16 @@ def minhash_dedup_pairs(
     seed: int = 42,
     hash_family: str = "xxhash64",
     max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+    drop_stats: dict | None = None,
 ) -> DataFrame:
-    """MinHash-LSH candidates, exact-Jaccard verified: (a, b, jaccard)."""
+    """MinHash-LSH candidates, exact-Jaccard verified: (a, b, jaccard).
+    ``drop_stats`` (a dict) receives dropped_buckets/dropped_rows counts
+    from the bucket cap — see ``cap_buckets``."""
     cand = minhash_candidate_pairs(
         df, text_col, id_col,
         shingle_n=shingle_n, num_hashes=num_hashes, bands=bands, seed=seed,
         hash_family=hash_family, max_bucket_size=max_bucket_size,
+        drop_stats=drop_stats,
     )
     return ngram_jaccard_pairs(
         df, cand, text_col, id_col, shingle_n=shingle_n, threshold=threshold
@@ -228,6 +249,7 @@ def simhash_dedup_pairs(
     max_hamming: int = 3,
     hash_family: str = "xxhash64",
     max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+    drop_stats: dict | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs: (a, b, hamming ≤ max_hamming).
 
@@ -269,7 +291,8 @@ def simhash_dedup_pairs(
     # aggregation pipeline for each side.
     chunks = chunks.localCheckpoint(eager=True)
     if max_bucket_size is not None:
-        chunks = cap_buckets(chunks, ["band", "key"], max_bucket_size, "simhash_dedup_pairs")
+        chunks = cap_buckets(chunks, ["band", "key"], max_bucket_size,
+                             "simhash_dedup_pairs", drop_stats)
     l, r = chunks.alias("l"), chunks.alias("r")
     return (
         l.join(

@@ -40,12 +40,15 @@ def hits(
     resume_state: DataFrame | None = None,
     start_step: int = 0,
     count_rows: bool = True,
+    bucket_state: bool = False,
 ) -> SuperstepRun:
     """Returns a run whose state is (vertex long, hub double, auth double)
     over the directed graph's vertices; Σ hub = Σ auth = 1 after every
     superstep.  ``tol <= 0`` runs exactly ``max_supersteps`` iterations
     (the oracle-matched mode); otherwise stops when the L1 delta of both
-    vectors drops below ``tol``.
+    vectors drops below ``tol``.  ``bucket_state=True`` (requires
+    ``checkpoint_dir``) buckets each superstep's score table on ``vertex``
+    so the next round's state-side exchanges disappear.
     """
     p = num_partitions or spark.sparkContext.defaultParallelism
     e = edges.select("src", "dst").dropDuplicates(["src", "dst"])
@@ -125,6 +128,7 @@ def hits(
         run_id=run_id,
         start_step=start_step,
         count_rows=count_rows,
+        bucket_state_by=["vertex"] if bucket_state else None,
     )
     e_src.unpersist()
     e_dst.unpersist()

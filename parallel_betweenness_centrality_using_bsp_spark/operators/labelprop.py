@@ -40,6 +40,8 @@ def label_propagation(
     start_step: int = 0,
     count_rows: bool = True,
     weight_col: str | None = None,
+    bucket_state: bool = False,
+    salt_buckets: int | None = None,
 ) -> SuperstepRun:
     """Returns run whose state is (vertex long, label long).
 
@@ -50,7 +52,16 @@ def label_propagation(
     neighbor label instead of the neighbor count — weights must be
     INTEGRAL so the (weight desc, label asc) order stays exact in every
     engine (the exact-match determinism rule); weights of parallel /
-    both-direction edges between a pair sum.
+    both-direction edges between a pair sum.  ``bucket_state=True``
+    (requires ``checkpoint_dir``) buckets each superstep's label table on
+    ``vertex`` so the next round's state×edges join skips the state-side
+    exchange.  ``salt_buckets=B`` switches the per-vertex argmax from a
+    window sort to a TWO-PHASE max (sub-key max over ``label % B``, then a
+    final B-row max per vertex) — same (count desc, label asc) result, but
+    a hub vertex with millions of distinct neighbor labels sorts at most
+    ``ceil(distinct_labels / B)`` rows per task instead of all of them in
+    one window partition (the asof.py two-phase pattern).  Default keeps
+    the window path, which measured faster on balanced graphs.
     """
     p = num_partitions or spark.sparkContext.defaultParallelism
     if weight_col is not None:
@@ -78,16 +89,36 @@ def label_propagation(
         )
         vote = F.count(F.lit(1)) if weight_col is None else F.sum("_w")
         counted = neigh.groupBy("vertex", "label").agg(vote.alias("cnt"))
-        # Deterministic argmax (count desc, label asc) via window row_number.
-        # Measured alternative (struct-max / max_by aggregation) loses:
-        # struct-typed aggregation buffers force SortAggregate on BOTH sides
-        # of the exchange (2.4× slower than the single window sort here).
-        w = Window.partitionBy("vertex").orderBy(F.desc("cnt"), F.asc("label"))
-        best = (
-            counted.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .select("vertex", "label")
-        )
+        if salt_buckets:
+            # Hub-safe TWO-PHASE argmax: the window below sorts ALL of a
+            # vertex's (label, cnt) rows in one task — a hub with many
+            # distinct neighbor labels serializes there.  Phase 1 takes the
+            # max over struct(cnt, -label) per (vertex, label % B) — hash
+            # aggregation, map-side combined, the hub's rows spread over B
+            # sub-keys; phase 2 reduces the ≤B survivors per vertex.
+            # struct max = (cnt desc, then -label max = label asc): the
+            # identical total order as the window.
+            pick = F.struct(F.col("cnt").alias("_c"), (-F.col("label")).alias("_nl"))
+            sub = counted.groupBy(
+                "vertex", F.pmod(F.col("label"), F.lit(salt_buckets)).alias("_s")
+            ).agg(F.max(pick).alias("_m"))
+            best = (
+                sub.groupBy("vertex")
+                .agg(F.max("_m").alias("_m"))
+                .select("vertex", (-F.col("_m._nl")).alias("label"))
+            )
+        else:
+            # Deterministic argmax (count desc, label asc) via window
+            # row_number.  Measured alternative (struct-max / max_by
+            # aggregation) loses on balanced graphs: struct-typed aggregation
+            # buffers force SortAggregate on BOTH sides of the exchange (2.4×
+            # slower than the single window sort here).
+            w = Window.partitionBy("vertex").orderBy(F.desc("cnt"), F.asc("label"))
+            best = (
+                counted.withColumn("rn", F.row_number().over(w))
+                .where(F.col("rn") == 1)
+                .select("vertex", "label")
+            )
         # isolated vertices (none here since vertices come from edges) keep label
         return (
             state.select("vertex", F.col("label").alias("old_label"))
@@ -118,6 +149,7 @@ def label_propagation(
         run_id=run_id,
         start_step=start_step,
         count_rows=count_rows,
+        bucket_state_by=["vertex"] if bucket_state else None,
     )
     und.unpersist()
     return run

@@ -42,6 +42,7 @@ def pagerank(
     count_rows: bool = True,
     personalize: list[int] | None = None,
     weight_col: str | None = None,
+    bucket_state: bool = False,
 ) -> SuperstepRun:
     """Returns run whose state is (vertex long, pr double).
 
@@ -52,7 +53,13 @@ def pagerank(
     instead of pr(u)/outdeg(u) — same plan shape (the per-source weight sum
     replaces the out-degree in the one-off persisted edge table; parallel
     edges keep the SUM of their weights), so the per-iteration cost is
-    identical to the unweighted kernel.
+    identical to the unweighted kernel.  ``bucket_state=True`` (requires
+    ``checkpoint_dir``) lands each superstep's rank vector as a parquet
+    table bucketed+sorted on ``vertex`` — the contribution join and the
+    convergence join then skip the state-side exchange (one rank-vector-
+    sized shuffle saved per superstep; match ``num_partitions`` to
+    ``spark.sql.shuffle.partitions``, the bucket count, so the persisted
+    edge table's layout is reused too).
     """
     p = num_partitions or spark.sparkContext.defaultParallelism
     if weight_col is not None:
@@ -171,6 +178,7 @@ def pagerank(
         run_id=run_id,
         start_step=start_step,
         count_rows=count_rows,
+        bucket_state_by=["vertex"] if bucket_state else None,
     )
     edges_w.unpersist()
     vertices.unpersist()

@@ -16,11 +16,16 @@ Outer round (on the still-unassigned subgraph):
      joint frontier keyed by color.
   4. Assign those SCCs, induce the remaining subgraph, repeat.
 
-Each outer round assigns ≥1 SCC per color class containing a pivot;
-typical graphs finish in a handful of rounds (worst case — a chain with
-decreasing ids — degrades to O(n) rounds; id-randomized inputs avoid it).
-SCC labels are canonicalized to the MINIMUM member id, so output is
-engine-independent.
+Each outer round assigns ≥1 SCC per color class containing a pivot.
+Colors are (xxhash64(vertex), vertex) PAIRS, max-compared
+lexicographically: the hash component randomizes the pivot order so the
+adversarial O(n)-round case (a chain whose ids decrease along the edges,
+where plain vertex-id colors elect one pivot per round) becomes a
+hash-order chain — expected O(log n) outer rounds on ANY id layout — and
+the vertex component makes every color unique, so correctness never
+depends on hash collisions.  SCC labels are still canonicalized to the
+MINIMUM member id afterwards, so output is engine-independent and
+identical to the unpermuted algorithm's.
 
 All inner loops materialize per superstep (localCheckpoint) and move only
 frontier-sized deltas; edges for the round are partitioned once.
@@ -66,7 +71,17 @@ def strongly_connected_components(
             break
 
         # -- 1. forward max-color propagation to fixpoint ------------------
-        color = remaining.select("vertex", F.col("vertex").alias("color"))
+        # color = struct(h = xxhash64(vertex), v = vertex): max over the
+        # struct is lexicographic, so propagation order follows the HASH
+        # (adversarial id orderings vanish) while the v field keeps every
+        # color unique (no correctness-by-luck on 64-bit collisions).
+        color = remaining.select(
+            "vertex",
+            F.struct(
+                F.xxhash64(F.col("vertex")).alias("h"),
+                F.col("vertex").alias("v"),
+            ).alias("color"),
+        )
         color = color.localCheckpoint(eager=True)
         frontier = color  # rows whose color changed last superstep
         while True:
@@ -101,7 +116,7 @@ def strongly_connected_components(
             .select(F.col("dst").alias("r_src"), F.col("src").alias("r_dst"), F.col("sc").alias("color"))
             .localCheckpoint(eager=True)
         )
-        scc_members = color.where(F.col("vertex") == F.col("color")).select(
+        scc_members = color.where(F.col("vertex") == F.col("color.v")).select(
             "vertex", "color"
         ).localCheckpoint(eager=True)
         frontier = scc_members
@@ -135,6 +150,16 @@ def strongly_connected_components(
             .join(labels.select(F.col("vertex").alias("dst")), "dst", "left_anti")
             .localCheckpoint(eager=True)
         )
+    else:
+        n_left = remaining.count()
+        if n_left:
+            # Partial labels would silently masquerade as complete output.
+            raise ValueError(
+                f"strongly_connected_components did not assign {n_left} "
+                f"vertices within max_outer_rounds={max_outer_rounds} — "
+                "raise the cap (hash-randomized colors make this "
+                "vanishingly unlikely on non-degenerate graphs)"
+            )
 
     return assigned
 

@@ -370,6 +370,7 @@ def embedding_neardup_pairs(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+    drop_stats: dict | None = None,
 ) -> DataFrame:
     """(a, b, cos) pairs with cosine ≥ threshold that share an LSH bucket.
 
@@ -387,7 +388,7 @@ def embedding_neardup_pairs(
 
         b = cap_buckets(
             b.localCheckpoint(eager=True), ["bucket"], max_bucket_size,
-            "embedding_neardup_pairs",
+            "embedding_neardup_pairs", drop_stats,
         )
     l, r = b.alias("l"), b.alias("r")
     return (

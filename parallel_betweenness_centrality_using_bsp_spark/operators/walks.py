@@ -114,6 +114,11 @@ def random_walks_run(
 
     ``resume_state``/``start_step`` (from ``latest_checkpoint(spark, dir,
     "walks", run_id)``) restart a crashed checkpointed run mid-walk.
+    ``walk_length`` is the ABSOLUTE target length: a run resumed from
+    step s advances ``walk_length - s`` more supersteps (not
+    ``walk_length`` more — nothing else stops a walk loop, unlike the
+    converging kernels), so crashed and uncrashed runs produce
+    identical-length walks.
     """
     p = num_partitions or spark.sparkContext.defaultParallelism
     adj, deg = indexed_adjacency(edges, directed, salt_buckets=salt_buckets)
@@ -159,7 +164,7 @@ def random_walks_run(
         resume_state if resume_state is not None else initial,
         step,
         algo="walks",
-        max_supersteps=walk_length,
+        max_supersteps=max(0, walk_length - start_step),
         converged_fn=None,
         checkpoint_dir=checkpoint_dir,
         run_id=run_id,

@@ -218,11 +218,23 @@ def superstep_loop(
             )
             mdf.write.mode("append").parquet(f"{checkpoint_dir}/_metrics")
 
-        if converged_fn is not None and converged_fn(state, new_state):
-            state = new_state
+        conv = converged_fn is not None and converged_fn(state, new_state)
+        if bucket_state_by and checkpoint_dir is not None:
+            # The previous superstep's bucket table is an EXTERNAL table:
+            # dropping it removes only the metastore entry (unbounded growth
+            # across long/repeated runs otherwise) while the parquet files
+            # under superstep=k-1 stay on disk for latest_checkpoint resume.
+            # Safe only now — converged_fn above was the last reader of the
+            # old state.  The FINAL step's table survives: run.state is a
+            # catalog read so downstream joins still see the bucketing.
+            spark.sql(
+                "DROP TABLE IF EXISTS "
+                f"`{_bucket_table_name(algo, run_id, step - 1)}`"
+            )
+        state = new_state
+        if conv:
             converged = True
             break
-        state = new_state
 
     return SuperstepRun(
         state=state,

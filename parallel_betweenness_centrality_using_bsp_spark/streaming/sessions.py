@@ -157,7 +157,14 @@ def sessionize_stream(
             else:
                 n, last_us = n + 1, us
         state.update((seq, n, start_us, last_us))
-        state.setTimeoutTimestamp(last_us // 1000 + gap_ms)
+        # EventTimeTimeout requires a deadline strictly beyond the current
+        # watermark — one key whose newest event is already older than
+        # watermark − gap would otherwise throw IllegalArgumentException and
+        # kill the whole query.  Clamp: the session then flushes on the very
+        # next trigger, which is also the earliest semantically valid time.
+        state.setTimeoutTimestamp(
+            max(last_us // 1000 + gap_ms, state.getCurrentWatermarkMs() + 1)
+        )
         if closed:
             yield pd.DataFrame(
                 closed,

@@ -49,16 +49,19 @@ def test_walks_resume_mid_walk(spark, tmp_path):
 
     want = sorted(map(tuple, random_walks(spark, e, starts, walk_length=6).collect()))
 
-    # crash after 2 hops, resume the remaining 4 from the checkpoint
+    # crash after 2 hops, resume from the checkpoint; walk_length is the
+    # ABSOLUTE target, so the resumed run advances only the remaining 4
+    # hops (passing the same 6 twice must NOT produce length-8 walks)
     random_walks_run(
         spark, e, starts, walk_length=2, checkpoint_dir=ckpt, run_id="w"
     )
     step, state = latest_checkpoint(spark, ckpt, "walks", "w")
     assert step == 2
-    random_walks_run(
-        spark, e, starts, walk_length=4, checkpoint_dir=ckpt, run_id="w",
+    run, _ = random_walks_run(
+        spark, e, starts, walk_length=6, checkpoint_dir=ckpt, run_id="w",
         resume_state=state, start_step=step,
     )
+    assert run.supersteps == 4
     got = sorted(
         map(tuple, walk_corpus_from_checkpoints(spark, ckpt, "w").collect())
     )
