@@ -102,3 +102,23 @@ def test_community_centroids_exact(spark):
     assert got[(7, 0)] == (2.0, 2) and got[(7, 1)] == (3.0, 2)
     assert got[(9, 0)] == (10.0, 1) and got[(9, 1)] == (0.0, 1)
     assert len(got) == 4  # dims=2 per community, third dim excluded
+
+
+def test_salted_argmax_matches_window_on_hot_key(spark):
+    """One vertex holding ~50% of all edges (the hub shape that serializes
+    the per-vertex window sort): the two-phase salted argmax must produce
+    the IDENTICAL label assignment — same (count desc, label asc) total
+    order, just computed as two hash aggregations."""
+    hub = [(0, v) for v in range(1, 201)]
+    rest = er_graph(n=200, p=0.02, seed=11)
+    edges = hub + rest
+    e = edge_df(spark, edges)
+    plain = df_to_dict(
+        label_propagation(spark, e, max_supersteps=4).state, "vertex", "label"
+    )
+    salted = df_to_dict(
+        label_propagation(spark, e, max_supersteps=4, salt_buckets=8).state,
+        "vertex", "label",
+    )
+    assert salted == plain
+    assert plain == oracle_label_propagation(edges, max_iters=4)

@@ -151,3 +151,38 @@ def test_bucketed_state_skips_state_side_exchange(spark, tmp_path):
     assert "SelectedBucketsCount" in plan          # the state scan IS bucketed
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1  # cand side only
     spark.sql("DROP TABLE IF EXISTS ss_planprobe_r1_0")
+
+
+def test_bucketed_pagerank_drops_stale_tables_and_skips_state_exchange(spark, tmp_path):
+    """bucket_state=True threaded through a real kernel: (a) after the run
+    only the FINAL superstep's bucket table remains registered (the loop
+    drops each previous round's entry once its last reader — the
+    convergence check — has run), (b) the returned state scans as a
+    bucketed table, so a vertex-keyed aggregation over it plans with NO
+    Exchange — the state-side shuffle every un-bucketed round pays."""
+    from pyspark.sql import functions as F
+
+    from parallel_betweenness_centrality_using_bsp_spark.operators.pagerank import pagerank
+    from parallel_betweenness_centrality_using_bsp_spark.sources.graphs import random_uniform_graph
+
+    e = random_uniform_graph(spark, 500, 2500, seed=5)
+    run = pagerank(
+        spark, e, tol=0, max_supersteps=3,
+        checkpoint_dir=str(tmp_path / "ck"), bucket_state=True, run_id="bkt",
+    )
+    tables = [r.tableName for r in spark.sql("SHOW TABLES").collect()
+              if r.tableName.startswith("ss_pagerank_bkt")]
+    assert tables == ["ss_pagerank_bkt_3"]
+
+    agg = run.state.groupBy("vertex").agg(F.sum("pr").alias("s"))
+    plan = agg._sc._jvm.PythonSQLUtils.explainString(
+        agg._jdf.queryExecution(), "formatted"
+    )
+    assert "SelectedBucketsCount" in plan
+    assert "Exchange" not in plan
+    # resume contract intact: the parquet files of EVERY superstep remain
+    from parallel_betweenness_centrality_using_bsp_spark.plans.superstep import latest_checkpoint
+
+    step, _ = latest_checkpoint(spark, str(tmp_path / "ck"), "pagerank", "bkt")
+    assert step == 3
+    spark.sql("DROP TABLE IF EXISTS ss_pagerank_bkt_3")

@@ -92,3 +92,29 @@ def test_dag_layers_rejects_cycles(spark):
     e = edge_df(spark, [(0, 1), (1, 2), (2, 0)])
     with pytest.raises(ValueError, match="acyclic"):
         dag_longest_path_layers(spark, e, max_rounds=10)
+
+
+def test_scc_decreasing_id_chain_converges_in_few_rounds(spark):
+    """The documented adversarial case: a chain whose ids DECREASE along the
+    edges.  Vertex-id colors elect exactly one pivot per outer round (O(n)
+    rounds); the hash-permuted colors make pivot order hash-random, so the
+    same chain finishes in O(log n)-ish rounds — enforced here by a hard
+    round cap far below n (overrunning now raises instead of returning
+    partial labels)."""
+    from tests.oracles import df_to_dict
+
+    n = 64
+    e = edge_df(spark, [(i, i - 1) for i in range(n, 1, -1)])
+    got = df_to_dict(
+        strongly_connected_components(spark, e, max_outer_rounds=16), "vertex", "scc"
+    )
+    # a chain is all singleton SCCs
+    assert got == {v: v for v in range(1, n + 1)}
+
+
+def test_scc_raises_on_round_cap_overrun(spark):
+    import pytest
+
+    e = edge_df(spark, [(i, i - 1) for i in range(40, 1, -1)])
+    with pytest.raises(ValueError, match="did not assign"):
+        strongly_connected_components(spark, e, max_outer_rounds=1)

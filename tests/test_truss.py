@@ -49,3 +49,37 @@ def test_k_truss_resume_mid_peel(spark, tmp_path):
         resume_state=state, start_step=step,
     )
     assert sorted(map(tuple, resumed.state.collect())) == want
+
+
+def test_k_truss_prepeel_hub_graph_matches_networkx(spark):
+    """Hub-heavy graph: one vertex with thousands of pendant edges plus an
+    embedded K6.  The default (k-1)-core pre-peel must (a) leave the truss
+    fixpoint identical to networkx, (b) collapse the hub's O(d^2) wedge
+    fan-out before the wedge join ever runs."""
+    from pyspark.sql import functions as F
+
+    from parallel_betweenness_centrality_using_bsp_spark.operators.edges import symmetrize
+    from parallel_betweenness_centrality_using_bsp_spark.operators.kcore import k_core_run
+
+    clique = [(a, b) for a in range(6) for b in range(a + 1, 6)]
+    pendants = [(0, v) for v in range(10, 3010)]
+    edges = clique + pendants
+    e = edge_df(spark, edges)
+
+    assert _got(spark, edges, 4) == _want(edges, 4)
+    # pre-peel ON (default) and OFF agree at the fixpoint
+    got_off = sorted(map(tuple, k_truss(spark, e, 4, pre_peel=False).collect()))
+    assert sorted(map(tuple, k_truss(spark, e, 4).collect())) == got_off
+
+    # wedge rows of the first peel round = sum over vertices of deg^2
+    def wedge_rows(sym_edges):
+        return (
+            sym_edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+            .agg(F.sum(F.col("d") * F.col("d"))).first()[0]
+        )
+
+    raw = wedge_rows(symmetrize(e))
+    peeled = wedge_rows(k_core_run(spark, e, 3).state)
+    # the 3000-degree hub dominates raw (~9e6 rows); the peeled graph is K6
+    assert raw > 9_000_000
+    assert peeled < raw * 0.01
