@@ -1452,6 +1452,199 @@ def dedup_kept_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(d, "text", "doc_id").agg(F.count(F.lit(1)).alias("n_kept"))
 
 
+LOUVAIN_ROUNDS = 2
+
+
+def graph_louvain2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-level Louvain local moves (2 parity-alternating rounds from
+    singleton labels) on the undirected order graph — ORACLE-GATED: the
+    integer gain score 2m·k_{v,C} − k_v·Σtot(C∖v) makes every move
+    decision exact long arithmetic, so the DuckDB twin (same two rounds
+    unrolled as CTEs) reproduces the labels bit-for-bit.  The
+    modularity-improvement property test lives in tests/test_labelprop.py."""
+    from parallel_betweenness_centrality_using_bsp_spark.operators.labelprop import louvain_one_level
+
+    e = _order_edges(spark, sf_dir)
+    return louvain_one_level(spark, e, rounds=LOUVAIN_ROUNDS).orderBy("vertex")
+
+
+def _louvain2_sql() -> str:
+    parts = [
+        f"""WITH {_EDGES_SQL},
+  deg AS (SELECT src AS vertex, count(*)::BIGINT AS degv FROM und GROUP BY src),
+  mm AS (SELECT count(*)::BIGINT AS m2 FROM und),
+  lab0 AS (SELECT vertex, vertex AS label FROM vertices)
+"""
+    ]
+    for r in range(LOUVAIN_ROUNDS):
+        parts.append(f""",
+  stot{r} AS (SELECT l.label, sum(d.degv) AS stot
+              FROM lab{r} l JOIN deg d USING (vertex) GROUP BY l.label),
+  cand{r} AS (SELECT vertex, cand, sum(k) AS k FROM (
+                SELECT u.src AS vertex, l.label AS cand, count(*)::BIGINT AS k
+                FROM und u JOIN lab{r} l ON l.vertex = u.dst GROUP BY u.src, l.label
+                UNION ALL
+                SELECT vertex, label AS cand, 0::BIGINT FROM lab{r})
+              GROUP BY vertex, cand),
+  best{r} AS (
+    SELECT vertex, cand AS new_label,
+           row_number() OVER (
+             PARTITION BY vertex
+             ORDER BY mm.m2 * c.k
+                      - d.degv * (s.stot - CASE WHEN c.cand = l.label
+                                                THEN d.degv ELSE 0 END) DESC,
+                      c.cand ASC) AS rn
+    FROM cand{r} c
+    JOIN deg d USING (vertex) JOIN stot{r} s ON s.label = c.cand
+    JOIN lab{r} l USING (vertex) CROSS JOIN mm
+    WHERE vertex % 2 = {r % 2}),
+  lab{r + 1} AS (
+    SELECT l.vertex, coalesce(b.new_label, l.label) AS label
+    FROM lab{r} l
+    LEFT JOIN (SELECT vertex, new_label FROM best{r} WHERE rn = 1) b USING (vertex))
+""")
+    parts.append(
+        f"SELECT vertex, label FROM lab{LOUVAIN_ROUNDS} ORDER BY vertex"
+    )
+    return "".join(parts)
+
+
+BCW_SOURCE_CAP = 8   # weighted-betweenness source sample: vertex id < cap
+BCW_MAX_HOPS = 16    # ≥ max hop count of any weighted shortest path at the
+                     # gate sf (0.01: unweighted diameter 3 × max weight 5
+                     # = cost ≤ 15 ⇒ hops ≤ 15); both engines cap at it
+BCW_COST_CAP = 17    # DuckDB walk recursion guard: > max possible dist
+
+
+def _weighted_order_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The order graph with deterministic integral weights
+    w = 1 + (src·7 + dst·13) mod 5 ∈ [1,5] — reproducible in both engines,
+    and heavy direct edges genuinely lose to light multi-hop paths."""
+    e = _order_edges(spark, sf_dir)
+    return e.select(
+        "src", "dst", (F.lit(1) + (F.col("src") * 7 + F.col("dst") * 13) % 5).alias("w")
+    )
+
+
+_WEDGES_SQL = f"""
+  wedges AS MATERIALIZED (
+    SELECT src, dst, 1 + (src * 7 + dst * 13) % 5 AS w FROM (
+      SELECT DISTINCT (o_custkey % {GRAPH_MOD})::BIGINT AS src,
+                      (o_orderkey % {GRAPH_MOD})::BIGINT AS dst
+      FROM orders
+      WHERE (o_custkey % {GRAPH_MOD}) != (o_orderkey % {GRAPH_MOD}))
+  ),
+  wund AS MATERIALIZED (
+    -- symmetrize keeping the MIN weight per direction-pair
+    SELECT src, dst, min(w) AS w FROM (
+      SELECT src, dst, w FROM wedges UNION ALL SELECT dst, src, w FROM wedges)
+    GROUP BY src, dst
+  ),
+  wverts AS MATERIALIZED (SELECT DISTINCT src AS vertex FROM wund)
+"""
+
+
+def graph_betweenness_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dijkstra-Brandes (weighted betweenness) partial sums over the
+    source sample {v < 8} — ORACLE-GATED: the DuckDB twin computes
+    weighted distances by a cost-capped recursive walk, the shortest-path
+    DAG by the dist(u)+w = dist(v) certificate, then hop-unrolled DP for
+    sigma (forward) and delta (backward) — exactly the three fixpoints
+    ``betweenness_weighted`` runs as BSP supersteps.  The allclose-1e-6
+    oracle vs ``networkx.betweenness_centrality(weight=...)`` on arbitrary
+    graphs lives in tests/test_betweenness.py."""
+    from parallel_betweenness_centrality_using_bsp_spark.operators.betweenness_weighted import (
+        betweenness_weighted,
+    )
+
+    we = _weighted_order_edges(spark, sf_dir)
+    verts = (
+        we.select(F.col("src").alias("vertex"))
+        .unionByName(we.select(F.col("dst").alias("vertex")))
+        .distinct()
+    )
+    sources = sorted(
+        r["vertex"] for r in verts.where(F.col("vertex") < BCW_SOURCE_CAP).collect()
+    )
+    res = betweenness_weighted(
+        spark, we, sources=sources, directed=False, max_hops=BCW_MAX_HOPS
+    )
+    return (
+        res.bc.join(verts, "vertex")
+        .select("vertex", F.round("bc", 6).alias("bc"))
+        .orderBy("vertex")
+    )
+
+
+def _betweenness_weighted_sql() -> str:
+    """Weighted Brandes in SQL: recursive cost-capped walk → min cost per
+    (source, vertex); DAG edges via the additive certificate; sigma as
+    hop-count-unrolled path-count DP over the DAG; delta as the same DP
+    reversed.  Unroll depth = BCW_MAX_HOPS ≥ the deepest shortest path's
+    hop count at the gate sf, the exact analogue of BC_MAX_DEPTH."""
+    H = BCW_MAX_HOPS
+    parts = [
+        f"""WITH RECURSIVE {_WEDGES_SQL},
+  wsrc AS (SELECT vertex AS s FROM wverts WHERE vertex < {BCW_SOURCE_CAP}),
+  wwalk(s, v, c) AS (
+    SELECT s, s, 0 FROM wsrc
+    UNION
+    SELECT w.s, u.dst, w.c + u.w FROM wwalk w JOIN wund u ON u.src = w.v
+    WHERE w.c + u.w < {BCW_COST_CAP}
+  ),
+  wdist AS MATERIALIZED (SELECT s, v, min(c) AS c FROM wwalk GROUP BY s, v),
+  wdag AS MATERIALIZED (
+    SELECT du.s, u.src, u.dst
+    FROM wund u
+    JOIN wdist du ON du.v = u.src
+    JOIN wdist dv ON dv.s = du.s AND dv.v = u.dst
+    WHERE du.c + u.w = dv.c
+  ),
+  wsig0 AS (SELECT s, s AS v, 1.0::DOUBLE AS sigma FROM wsrc)
+""",
+    ]
+    for k in range(1, H + 1):
+        parts.append(
+            f""",
+  wsig{k} AS (
+    SELECT p.s, g.dst AS v, sum(p.sigma) AS sigma
+    FROM wsig{k - 1} p JOIN wdag g ON g.s = p.s AND g.src = p.v
+    GROUP BY p.s, g.dst)
+"""
+        )
+    # total sigma(v) = Σ_k (paths of exactly k DAG edges); the DAG is
+    # acyclic with depth ≤ H, so the union is complete
+    parts.append(
+        ",\n  wsig AS MATERIALIZED (SELECT s, v, sum(sigma) AS sigma FROM ("
+        + " UNION ALL ".join(f"SELECT * FROM wsig{k}" for k in range(H + 1))
+        + ") GROUP BY s, v)"
+    )
+    parts.append(",\n  wdel0 AS (SELECT s, v, 0.0::DOUBLE AS delta FROM wsig)")
+    for k in range(1, H + 1):
+        parts.append(
+            f""",
+  wdel{k} AS (
+    SELECT g.s, g.v,
+           coalesce(sum(g.sigma / sw.sigma * (1.0 + sw.delta)), 0.0) AS delta
+    FROM wsig g
+    LEFT JOIN wdag e ON e.s = g.s AND e.src = g.v
+    LEFT JOIN (SELECT w1.s, w1.v, w1.sigma, d1.delta
+               FROM wsig w1 JOIN wdel{k - 1} d1 ON d1.s = w1.s AND d1.v = w1.v) sw
+      ON sw.s = e.s AND sw.v = e.dst
+    GROUP BY g.s, g.v, g.sigma)
+"""
+        )
+    parts.append(
+        f""",
+  wbc AS (SELECT v AS vertex, sum(delta) AS b
+          FROM wdel{H} WHERE v != s GROUP BY v)
+SELECT vt.vertex, round(coalesce(b, 0.0) * 0.5, 6) AS bc
+FROM wverts vt LEFT JOIN wbc USING (vertex) ORDER BY vertex
+"""
+    )
+    return "".join(parts)
+
+
 def graph_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brandes betweenness partial sums over the source sample
     {v ∈ V : v < 64} — ORACLE-GATED: the DuckDB twin computes the identical
@@ -1890,6 +2083,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_modularity": graph_modularity,
         "graph_community_centroids": graph_community_centroids,
         "graph_betweenness": graph_betweenness,
+        "graph_betweenness_weighted": graph_betweenness_weighted,
+        "graph_louvain2": graph_louvain2,
         "graph_bfs_dist": graph_bfs_dist,
         "graph_diameter_sweep": graph_diameter_sweep,
         "graph_sssp": graph_sssp,
@@ -2189,6 +2384,8 @@ def oracle_sql() -> dict[str, str]:
         "graph_modularity": _modularity_sql(),
         "graph_community_centroids": _community_centroids_sql(),
         "graph_betweenness": _betweenness_sql(),
+        "graph_betweenness_weighted": _betweenness_weighted_sql(),
+        "graph_louvain2": _louvain2_sql(),
         "graph_bfs_dist": f"""
             WITH RECURSIVE {_EDGES_SQL},
             src AS (SELECT vertex AS s FROM vertices WHERE vertex < 8),

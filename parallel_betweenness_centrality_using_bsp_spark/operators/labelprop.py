@@ -155,6 +155,109 @@ def label_propagation(
     return run
 
 
+def louvain_one_level(
+    spark: SparkSession,
+    edges: DataFrame,
+    *,
+    labels: DataFrame | None = None,
+    rounds: int = 2,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """One-level Louvain local-move refinement — greedy modularity, the
+    quality-optimizing sibling of LPA.  Returns (vertex long, label long).
+
+    Each round every ELIGIBLE vertex v moves to the candidate community C
+    (its neighbors' communities ∪ its own) maximizing the modularity gain.
+    With Q = Σ_c [inner_c/2m − (Σtot_c/2m)²], moving v into C changes Q by
+    a constant plus ``k_{v,C}/m − k_v·Σtot(C∖v)/2m²``, so the argmax is
+    over the INTEGER score
+
+        score(v→C) = 2m·k_{v,C} − k_v·Σtot(C∖v)
+
+    (ties → smaller community label) — exact long arithmetic, no float, so
+    the assignment is bit-identical in every engine, the same
+    exact-determinism rule weighted LPA follows.  Eligibility alternates by
+    vertex parity (round r moves only v with v % 2 == r % 2): simultaneous
+    moves of adjacent vertices can swap communities and lose quality —
+    parity alternation is the standard distributed-Louvain mitigation and
+    keeps the fixed-round output deterministic for the oracle twin.
+
+    ``labels`` seeds the refinement (default: singletons = vertex ids; pass
+    an LPA run's state to refine it).  Plan per round: two label joins onto
+    the persisted symmetrized edges, three hash aggs (per-community Σtot,
+    per-(vertex, community) k, per-vertex struct-max argmax) — all
+    map-side combined, no windows, hub-safe.
+    """
+    p = num_partitions or spark.sparkContext.defaultParallelism
+    und = symmetrize(edges).repartition(p, "src").persist()
+    deg = und.groupBy(F.col("src").alias("vertex")).agg(
+        F.count(F.lit(1)).alias("degv")
+    )
+    m2_row = und.agg(F.count(F.lit(1)).alias("m2"))  # 2m, in-plan broadcast
+    state = (
+        labels.select("vertex", "label")
+        if labels is not None
+        else deg.select("vertex", F.col("vertex").alias("label"))
+    )
+    state = state.localCheckpoint(eager=True)
+
+    for r in range(rounds):
+        stot = (
+            state.join(deg, "vertex")
+            .groupBy("label")
+            .agg(F.sum("degv").alias("stot"))
+        )
+        # k_{v,C}: weight from v to each neighbor community C
+        nbr_label = state.select(F.col("vertex").alias("dst"), F.col("label").alias("cand"))
+        k_vc = (
+            und.join(nbr_label, "dst")
+            .groupBy(F.col("src").alias("vertex"), "cand")
+            .agg(F.count(F.lit(1)).alias("k"))
+        )
+        cur = state.select("vertex", F.col("label").alias("cand"), F.lit(0).cast("long").alias("k"))
+        cand = (
+            k_vc.unionByName(cur)
+            .groupBy("vertex", "cand")
+            .agg(F.sum("k").alias("k"))  # cur row adds 0; ensures own community is a candidate
+        )
+        cur_l = state.select("vertex", F.col("label").alias("cur"))
+        scored = (
+            cand.join(deg, "vertex")
+            .join(stot.withColumnRenamed("label", "cand"), "cand")
+            .join(cur_l, "vertex")
+            .join(F.broadcast(m2_row))
+            .select(
+                "vertex",
+                "cand",
+                "cur",
+                (
+                    F.col("m2") * F.col("k")
+                    - F.col("degv")
+                    * (
+                        F.col("stot")
+                        - F.when(F.col("cand") == F.col("cur"), F.col("degv")).otherwise(F.lit(0))
+                    )
+                ).alias("score"),
+            )
+        )
+        pick = F.struct(F.col("score").alias("_s"), (-F.col("cand")).alias("_nl"))
+        best = (
+            scored.where(F.col("vertex") % 2 == F.lit(r % 2))
+            .groupBy("vertex")
+            .agg(F.max(pick).alias("_m"))
+            .select("vertex", (-F.col("_m._nl")).alias("new_label"))
+        )
+        state = (
+            state.join(best, "vertex", "left")
+            .select(
+                "vertex", F.coalesce("new_label", F.col("label")).alias("label")
+            )
+            .localCheckpoint(eager=True)
+        )
+    und.unpersist()
+    return state
+
+
 def modularity(spark: SparkSession, edges: DataFrame, labels: DataFrame,
                label_col: str = "label") -> DataFrame:
     """One row (n_communities, modularity) — Newman modularity

@@ -149,3 +149,55 @@ def test_estimator_scaling(spark):
     n = max(v for e in edges for v in e) + 1
     for v in e_d:
         assert abs(e_d[v] - r_d[v] * n / len(sample)) < 1e-9
+
+
+def test_weighted_betweenness_matches_networkx(spark):
+    """Dijkstra-Brandes: weighted scores vs networkx at 1e-6, undirected
+    and directed, on a weighted graph whose shortest paths genuinely differ
+    from the BFS ones (heavy direct edges bypassed by light 2-hop paths)."""
+    import networkx as nx
+
+    from parallel_betweenness_centrality_using_bsp_spark.operators.betweenness_weighted import (
+        betweenness_weighted,
+    )
+
+    rng_edges = er_graph(n=40, p=0.12, seed=21)
+    wedges = [(u, v, 1 + ((u * 7 + v * 13) % 5)) for u, v in rng_edges]
+    for directed in (False, True):
+        g = nx.DiGraph() if directed else nx.Graph()
+        g.add_weighted_edges_from(wedges)
+        want = nx.betweenness_centrality(g, normalized=False, weight="weight")
+        df = spark.createDataFrame(wedges, "src long, dst long, w long")
+        got = df_to_dict(
+            betweenness_weighted(spark, df, directed=directed).bc, "vertex", "bc"
+        )
+        assert set(got) == set(want)
+        for v in want:
+            assert abs(got[v] - want[v]) < 1e-6, (directed, v, got[v], want[v])
+
+
+def test_weighted_betweenness_unit_weights_match_bfs_brandes(spark):
+    edges = er_graph(n=35, p=0.12, seed=4)
+    from parallel_betweenness_centrality_using_bsp_spark.operators.betweenness_weighted import (
+        betweenness_weighted,
+    )
+
+    df = spark.createDataFrame(
+        [(u, v, 1) for u, v in edges], "src long, dst long, w long"
+    )
+    got = df_to_dict(betweenness_weighted(spark, df).bc, "vertex", "bc")
+    want = oracle_betweenness(edges)
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-6
+
+
+def test_weighted_betweenness_rejects_nonpositive_weights(spark):
+    import pytest
+
+    from parallel_betweenness_centrality_using_bsp_spark.operators.betweenness_weighted import (
+        betweenness_weighted,
+    )
+
+    df = spark.createDataFrame([(0, 1, 0)], "src long, dst long, w long")
+    with pytest.raises(ValueError, match="strictly positive"):
+        betweenness_weighted(spark, df)

@@ -122,3 +122,32 @@ def test_salted_argmax_matches_window_on_hot_key(spark):
     )
     assert salted == plain
     assert plain == oracle_label_propagation(edges, max_iters=4)
+
+
+def test_louvain_refines_lpa_to_optimal_on_ring_of_cliques(spark):
+    """One-level Louvain local moves on a ring of 6 five-cliques: refining
+    a mid-convergence LPA state (1 superstep, Q≈0.39) must strictly improve
+    modularity — here it reaches the known optimum (Q = 49/66 ≈ 0.742, the
+    clique-per-community partition networkx's louvain finds too)."""
+    from parallel_betweenness_centrality_using_bsp_spark.operators.labelprop import (
+        louvain_one_level,
+        modularity,
+    )
+
+    edges = []
+    K, C = 5, 6
+    for c in range(C):
+        base = c * K
+        edges += [(base + a, base + b) for a in range(K) for b in range(a + 1, K)]
+        edges.append((base + K - 1, ((c + 1) % C) * K))
+    e = edge_df(spark, edges)
+
+    lpa = label_propagation(spark, e, max_supersteps=1).state
+    q_lpa = modularity(spark, e, lpa).first()["modularity"]
+    refined = louvain_one_level(spark, e, labels=lpa, rounds=2)
+    q_ref = modularity(spark, e, refined).first()["modularity"]
+    assert q_ref > q_lpa
+    assert abs(q_ref - 49.0 / 66.0) < 1e-9
+    # determinism: identical rerun
+    again = louvain_one_level(spark, e, labels=lpa, rounds=2)
+    assert df_to_dict(again, "vertex", "label") == df_to_dict(refined, "vertex", "label")
