@@ -31,7 +31,8 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--algo", required=True,
                     choices=["pagerank", "components", "labelprop", "triangles",
                              "betweenness", "betweenness-bsp", "derive-edges",
-                             "sssp", "kcore", "walks", "hits"])
+                             "sssp", "kcore", "walks", "hits",
+                             "betweenness-weighted", "louvain"])
     src = ap.add_mutually_exclusive_group(required=True)
     src.add_argument("--edges", help="parquet path of (src,dst) edge table")
     src.add_argument("--repo-files", help="parquet path of repo_files table")
@@ -54,6 +55,12 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--k", type=int, default=3, help="k-core threshold")
     ap.add_argument("--walk-length", type=int, default=10)
+    ap.add_argument("--bucket-state", action="store_true",
+                    help="land each superstep's state as a parquet table "
+                         "bucketed on its join keys (requires "
+                         "--checkpoint-dir; pagerank/components/labelprop/"
+                         "hits/sssp) — removes the state-side exchange per "
+                         "round, the cluster-scale layout")
     return ap
 
 
@@ -118,20 +125,22 @@ def main(argv: list[str] | None = None) -> None:
     if args.algo == "pagerank":
         from parallel_betweenness_centrality_using_bsp_spark.operators.pagerank import pagerank
 
-        run = pagerank(spark, e, tol=args.tol, max_supersteps=args.max_supersteps, **common)
+        run = pagerank(spark, e, tol=args.tol, max_supersteps=args.max_supersteps,
+                       bucket_state=args.bucket_state, **common)
         out = run.state
     elif args.algo == "components":
         from parallel_betweenness_centrality_using_bsp_spark.operators.components import connected_components
 
         run = connected_components(
             spark, e, max_supersteps=args.max_supersteps,
-            algorithm=args.cc_algorithm, **common,
+            algorithm=args.cc_algorithm, bucket_state=args.bucket_state, **common,
         )
         out = run.state
     elif args.algo == "labelprop":
         from parallel_betweenness_centrality_using_bsp_spark.operators.labelprop import label_propagation
 
-        run = label_propagation(spark, e, max_supersteps=args.max_supersteps, **common)
+        run = label_propagation(spark, e, max_supersteps=args.max_supersteps,
+                                bucket_state=args.bucket_state, **common)
         out = run.state
     elif args.algo == "triangles":
         from parallel_betweenness_centrality_using_bsp_spark.operators.triangles import triangles_per_vertex
@@ -149,7 +158,7 @@ def main(argv: list[str] | None = None) -> None:
         )
         run = sssp_run(
             spark, we, list(range(args.sources)),
-            max_hops=args.max_supersteps, **common,
+            max_hops=args.max_supersteps, bucket_state=args.bucket_state, **common,
         )
         out = run.state.select("source", "vertex", "dist")
     elif args.algo == "kcore":
@@ -188,7 +197,8 @@ def main(argv: list[str] | None = None) -> None:
     elif args.algo == "hits":
         from parallel_betweenness_centrality_using_bsp_spark.operators.hits import hits
 
-        run = hits(spark, e, tol=args.tol, max_supersteps=args.max_supersteps, **common)
+        run = hits(spark, e, tol=args.tol, max_supersteps=args.max_supersteps,
+                   bucket_state=args.bucket_state, **common)
         out = run.state
     elif args.algo in ("betweenness", "betweenness-bsp"):
         from parallel_betweenness_centrality_using_bsp_spark.operators.betweenness import (
@@ -200,6 +210,27 @@ def main(argv: list[str] | None = None) -> None:
         fn = betweenness_csr if args.algo == "betweenness" else betweenness_bsp
         res = fn(spark, e, sources=sources, num_partitions=args.partitions)
         out = res.bc
+    elif args.algo == "betweenness-weighted":
+        from pyspark.sql import functions as F
+
+        from parallel_betweenness_centrality_using_bsp_spark.operators.betweenness_weighted import (
+            betweenness_weighted,
+        )
+
+        we = e if "w" in e.columns else e.select(
+            "src", "dst", ((F.col("src") + F.col("dst")) % 7 + 1).alias("w")
+        )
+        res = betweenness_weighted(
+            spark, we, sources=list(range(args.sources)),
+            max_hops=args.max_supersteps, num_partitions=args.partitions,
+        )
+        out = res.bc
+    elif args.algo == "louvain":
+        from parallel_betweenness_centrality_using_bsp_spark.operators.labelprop import louvain_one_level
+
+        out = louvain_one_level(
+            spark, e, rounds=args.max_supersteps, num_partitions=args.partitions
+        )
     else:
         raise SystemExit(f"--algo {args.algo} needs --repo-files")
 

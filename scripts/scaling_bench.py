@@ -146,11 +146,59 @@ def _merge(path: str, new: dict) -> dict:
     return merged
 
 
-STAGES = ("core14", "amort8", "amort16", "core832", "parts")
+BUCKET_CHILD = r"""
+import json, os, shutil, sys, tempfile, time
+sys.path.insert(0, %(repo)r)
+from parallel_betweenness_centrality_using_bsp_spark.session import get_spark
+from parallel_betweenness_centrality_using_bsp_spark.sources.graphs import random_uniform_graph
+from parallel_betweenness_centrality_using_bsp_spark.operators.pagerank import pagerank
+
+cores, parts = %(cores)d, %(parts)d
+nv, ne, pr_iters = %(nv)d, %(ne)d, %(pr_iters)d
+bucket = %(bucket)s
+spark = get_spark("scaling-bkt", master=f"local[{cores}]", shuffle_partitions=parts)
+spark.sparkContext.setLogLevel("ERROR")
+g = random_uniform_graph(spark, nv, ne, seed=42, partitions=parts).persist()
+g.count()
+d = tempfile.mkdtemp()
+t0 = time.monotonic()
+run = pagerank(spark, g, tol=0.0, max_supersteps=pr_iters, num_partitions=parts,
+               checkpoint_dir=d, bucket_state=bucket)
+sec = time.monotonic() - t0
+spark.sql(f"DROP TABLE IF EXISTS ss_pagerank_{run.run_id}_{pr_iters}")
+shutil.rmtree(d, ignore_errors=True)
+print("RESULT " + json.dumps({
+    "cores": cores, "partitions": parts, "edges": ne, "bucket_state": bucket,
+    "pagerank_iters": pr_iters, "pagerank_sec": round(sec, 2),
+    "pagerank_iters_per_sec": round(pr_iters / sec, 4),
+    "loadavg_1m": round(os.getloadavg()[0], 1),
+}))
+"""
+
+
+def run_bucket_level(cores: int, parts: int, nv: int, ne: int,
+                     pr_iters: int, bucket: bool) -> dict:
+    code = BUCKET_CHILD % {
+        "repo": REPO, "cores": cores, "parts": parts, "nv": nv, "ne": ne,
+        "pr_iters": pr_iters, "bucket": repr(bucket),
+    }
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, timeout=3600
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+    raise RuntimeError(
+        f"no RESULT line (bucket cores={cores}):\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}"
+    )
+
+
+STAGES = ("core14", "amort8", "amort16", "core832", "parts", "bucketed")
 
 
 def main() -> None:
-    only = set(sys.argv[1:]) or set(STAGES) - {"amort16"}  # 16M is opt-in (long)
+    # 16M and bucketed are opt-in (long)
+    only = set(sys.argv[1:]) or set(STAGES) - {"amort16", "bucketed"}
     new: dict = {}
 
     if "core14" in only:
@@ -194,6 +242,31 @@ def main() -> None:
             "speedup_pagerank": round(
                 p32["pagerank_iters_per_sec"] / p8["pagerank_iters_per_sec"], 4
             ),
+        }
+
+    if "bucketed" in only:
+        # Checkpointed pagerank at 8M edges, bucket_state OFF vs ON, same
+        # cores: the per-superstep state-side exchange the bucketed layout
+        # removes vs the bucketed write's extra sort — the end-to-end cost
+        # ledger of the cluster-scale layout.  Also a 1 -> 4 core pair with
+        # bucketing ON (does removing the exchange lift scaling efficiency).
+        bk = dict(nv=1_000_000, ne=8_000_000, pr_iters=5)
+        off = run_bucket_level(32, 32, bucket=False, **bk)
+        on = run_bucket_level(32, 32, bucket=True, **bk)
+        lo_on = run_bucket_level(1, 8, bucket=True, **bk)
+        hi_on = run_bucket_level(4, 8, bucket=True, **bk)
+        new["bucketed_state_8M_edges"] = {
+            "off_32c": off,
+            "on_32c": on,
+            "saved_sec": round(off["pagerank_sec"] - on["pagerank_sec"], 2),
+            "pair_1_to_4_bucketed": {
+                "lo": lo_on,
+                "hi": hi_on,
+                "efficiency_pagerank": round(
+                    (hi_on["pagerank_iters_per_sec"] / lo_on["pagerank_iters_per_sec"]) / 4.0,
+                    4,
+                ),
+            },
         }
 
     path = os.path.join(REPO, "BENCH_SCALING.json")
