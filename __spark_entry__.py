@@ -1510,10 +1510,13 @@ def _louvain2_sql() -> str:
 
 
 BCW_SOURCE_CAP = 8   # weighted-betweenness source sample: vertex id < cap
-BCW_MAX_HOPS = 16    # ≥ max hop count of any weighted shortest path at the
-                     # gate sf (0.01: unweighted diameter 3 × max weight 5
-                     # = cost ≤ 15 ⇒ hops ≤ 15); both engines cap at it
-BCW_COST_CAP = 17    # DuckDB walk recursion guard: > max possible dist
+BCW_MAX_HOPS = 16    # shared hop cap: BOTH engines compute min cost over
+                     # paths of ≤ this many hops (and sigma/delta over ≤ this
+                     # many DAG edges), so they agree at ANY sf even when the
+                     # cap truncates; at the gate sf it exceeds the deepest
+                     # shortest path (0.01: unweighted diameter 3 × max
+                     # weight 5 ⇒ ≤ 15 hops), so the result is the exact
+                     # fixpoint there
 
 
 def _weighted_order_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1586,11 +1589,14 @@ def _betweenness_weighted_sql() -> str:
     parts = [
         f"""WITH RECURSIVE {_WEDGES_SQL},
   wsrc AS (SELECT vertex AS s FROM wverts WHERE vertex < {BCW_SOURCE_CAP}),
-  wwalk(s, v, c) AS (
-    SELECT s, s, 0 FROM wsrc
+  -- hop-capped walk (h in the recursion tuple): wdist = min cost over
+  -- paths of <= H hops, the IDENTICAL truncation the Spark kernel's H
+  -- Bellman-Ford rounds compute, so the twin matches even mid-truncation
+  wwalk(s, v, c, h) AS (
+    SELECT s, s, 0, 0 FROM wsrc
     UNION
-    SELECT w.s, u.dst, w.c + u.w FROM wwalk w JOIN wund u ON u.src = w.v
-    WHERE w.c + u.w < {BCW_COST_CAP}
+    SELECT w.s, u.dst, w.c + u.w, w.h + 1 FROM wwalk w JOIN wund u ON u.src = w.v
+    WHERE w.h < {H}
   ),
   wdist AS MATERIALIZED (SELECT s, v, min(c) AS c FROM wwalk GROUP BY s, v),
   wdag AS MATERIALIZED (

@@ -137,6 +137,25 @@ def main() -> None:
     throughput["bc_bsp_edges_traversed_per_sec"] = round(
         res_bsp.edges_traversed / queries["betweenness_bsp_4src"], 1
     )
+
+    from parallel_betweenness_centrality_using_bsp_spark.operators.betweenness_weighted import (
+        betweenness_weighted as _bcw,
+    )
+    from parallel_betweenness_centrality_using_bsp_spark.operators.labelprop import (
+        louvain_one_level as _louvain,
+    )
+
+    # weighted Brandes (new in r4): 2-source batch — three BSP fixpoints
+    # (dist, sigma, delta) per batch, each O(shortest-path hop depth) rounds
+    res_bcw = timed(
+        "betweenness_weighted_2src",
+        lambda: _bcw(spark, we, sources=[0, 1], max_hops=40),
+    )
+    throughput["bcw_supersteps_per_sec"] = round(
+        res_bcw.supersteps / queries["betweenness_weighted_2src"], 4
+    )
+
+    timed("louvain_2rounds", lambda: _louvain(spark, g, rounds=2).count())
     g.unpersist()
 
     # ---- relational + pipeline at the bench scale factor ----
