@@ -546,3 +546,101 @@ def betweenness_csr(
         art.cleanup()
     res.wall_s = time.monotonic() - t0
     return res
+
+
+def edge_betweenness_bsp(
+    spark: SparkSession,
+    edges: DataFrame,
+    *,
+    sources: list[int] | None = None,
+    directed: bool = False,
+    batch_size: int = 64,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Edge betweenness centrality (Brandes 2008 variant) — credit every
+    edge on a shortest path, not just its endpoints.
+
+    Matches ``networkx.edge_betweenness_centrality(normalized=False)`` when
+    ``sources`` is every vertex; a source subset computes the sampled
+    partial sums exactly (both sides of the oracle gate agree on the same
+    subset).  The community-detection use (Girvan-Newman) removes the
+    top-scoring edges.
+
+    Plan shape: runs the BSP Brandes forward+backward phases once
+    (``betweenness_bsp(return_state=True)``), then derives per-edge credit
+    from the final per-(source, vertex) state with ONE extra join pass —
+    for each DAG edge (v, w) with ``dist_w == dist_v + 1``::
+
+        credit(v, w) += sigma_v / sigma_w * (1 + delta_w)
+
+    summed over sources; undirected scores are canonicalized to
+    ``(a, b) = (min, max)`` and halved, mirroring the vertex convention.
+    The state×edges join shuffles on the edge key — no new plan primitive,
+    no driver-side state.
+
+    Returns ``(a long, b long, ebc double)`` (undirected) or
+    ``(src long, dst long, ebc double)`` (directed); edges on no shortest
+    path score 0.0 and are present.
+    """
+    res = betweenness_bsp(
+        spark,
+        edges,
+        sources=sources,
+        directed=directed,
+        batch_size=batch_size,
+        num_partitions=num_partitions,
+        return_state=True,
+    )
+    st = res.state
+    e = (
+        edges.select("src", "dst").dropDuplicates(["src", "dst"])
+        if directed
+        else symmetrize(edges)
+    )
+    sv = st.select(
+        "source",
+        F.col("vertex").alias("src"),
+        F.col("dist").alias("_dv"),
+        F.col("sigma").alias("_sigma_v"),
+    )
+    sw = st.select(
+        "source",
+        F.col("vertex").alias("dst"),
+        F.col("dist").alias("_dw"),
+        F.col("sigma").alias("_sigma_w"),
+        F.col("delta").alias("_delta_w"),
+    )
+    credit = (
+        e.join(sv, "src")
+        .join(sw, ["source", "dst"])
+        .where(F.col("_dw") == F.col("_dv") + 1)
+        .select(
+            "src",
+            "dst",
+            ((F.col("_sigma_v") / F.col("_sigma_w")) * (F.lit(1.0) + F.col("_delta_w"))).alias(
+                "_c"
+            ),
+        )
+    )
+    if directed:
+        keyed = credit
+        out_edges = e
+        ka, kb = "src", "dst"
+        scale = 1.0
+    else:
+        keyed = credit.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+            "_c",
+        )
+        out_edges = e.where(F.col("src") < F.col("dst")).select(
+            F.col("src").alias("a"), F.col("dst").alias("b")
+        )
+        ka, kb = "a", "b"
+        scale = 0.5
+    agg = keyed.groupBy(ka, kb).agg(F.sum("_c").alias("_ebc"))
+    return out_edges.join(agg, [ka, kb], "left").select(
+        ka,
+        kb,
+        (F.coalesce(F.col("_ebc"), F.lit(0.0)) * F.lit(scale)).alias("ebc"),
+    )

@@ -50,3 +50,27 @@ def test_adamic_adar_hub_pruning_logged(spark, caplog):
     # pair (1,2) is an existing edge, and (0,v) pairs via 1 or 2 remain
     assert all(0 in (r["a"], r["b"]) for r in rows)
     assert any("pruned" in r.message for r in caplog.records)
+
+
+def test_link_prediction_scores_match_networkx(spark):
+    from parallel_betweenness_centrality_using_bsp_spark.operators.linkpred import link_prediction_scores
+
+    edges = er_graph(n=50, p=0.12, seed=7)
+    got = {
+        (r["a"], r["b"]): r
+        for r in link_prediction_scores(edge_df(spark, edges)).collect()
+    }
+    g = nx.Graph(edges)
+    aa = {(min(u, v), max(u, v)): s for u, v, s in nx.adamic_adar_index(g) if s > 0}
+    jc = {(min(u, v), max(u, v)): s for u, v, s in nx.jaccard_coefficient(g)}
+    ra = {
+        (min(u, v), max(u, v)): s
+        for u, v, s in nx.resource_allocation_index(g)
+        if s > 0
+    }
+    assert set(got) == set(aa)
+    for k, r in got.items():
+        assert np.isclose(r["aa"], aa[k], atol=1e-9), k
+        assert np.isclose(r["jaccard"], jc[k], atol=1e-9), k
+        assert np.isclose(r["ra"], ra[k], atol=1e-9), k
+        assert r["cn"] == len(list(nx.common_neighbors(g, *k)))
