@@ -1679,6 +1679,187 @@ def graph_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def graph_edge_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge betweenness (Girvan-Newman's split criterion) over the same
+    {v < 64} source sample as graph_betweenness — ORACLE-GATED: the DuckDB
+    twin reuses the full Brandes scaffolding (recursive-CTE BFS +
+    depth-unrolled sigma/delta DP) and derives per-edge credit
+    sigma_v/sigma_w*(1+delta_w) for every DAG edge, exactly the one extra
+    join pass the engine runs over its BSP state."""
+    from parallel_betweenness_centrality_using_bsp_spark.operators.betweenness import edge_betweenness_bsp
+
+    e = _order_edges(spark, sf_dir)
+    verts = (
+        e.select(F.col("src").alias("vertex"))
+        .unionByName(e.select(F.col("dst").alias("vertex")))
+        .distinct()
+    )
+    sources = sorted(
+        r["vertex"] for r in verts.where(F.col("vertex") < BC_SOURCE_CAP).collect()
+    )
+    eb = edge_betweenness_bsp(spark, e, sources=sources)
+    return eb.select("a", "b", F.round("ebc", 6).alias("ebc")).orderBy("a", "b")
+
+
+def graph_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled closeness centrality (Wasserman-Faust corrected, the
+    NetworkX convention) from sources {v < 8} — same estimator rationale
+    as harmonic/betweenness; oracle = the recursive-CTE BFS with the
+    closeness aggregation."""
+    from parallel_betweenness_centrality_using_bsp_spark.operators.bfs import closeness_sampled
+
+    e = _order_edges(spark, sf_dir)
+    verts = (
+        e.select(F.col("src").alias("vertex"))
+        .unionByName(e.select(F.col("dst").alias("vertex")))
+        .distinct()
+    )
+    sources = sorted(r["vertex"] for r in verts.where(F.col("vertex") < 8).collect())
+    return (
+        closeness_sampled(spark, e, sources)
+        .select("vertex", "reached", F.round("closeness", 6).alias("closeness"))
+        .orderBy("vertex")
+    )
+
+
+MIS_ROUNDS = 3
+
+
+def graph_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Luby maximal-independent-set, 3 fixed synchronous rounds —
+    ORACLE-GATED round-for-round: priorities are the engine-portable
+    md5('mis:'||v)||':'||lpad(v) strings, so the DuckDB twin unrolls the
+    identical rounds (win = smaller than every undecided neighbor,
+    dominate = neighbor of a winner) and the still-undecided remainder
+    matches exactly."""
+    from parallel_betweenness_centrality_using_bsp_spark.operators.mis import luby_mis
+
+    e = _order_edges(spark, sf_dir)
+    return luby_mis(spark, e, rounds=MIS_ROUNDS).orderBy("vertex")
+
+
+LINKPRED_TOPK = 50
+
+
+def graph_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 non-adjacent pairs by Jaccard coefficient with all four
+    neighborhood link-prediction scores (common-neighbors, Jaccard,
+    Adamic-Adar, resource-allocation) — one shared-neighbor self-join +
+    degree joins, mirrored exactly by the SQL twin."""
+    from parallel_betweenness_centrality_using_bsp_spark.operators.linkpred import (
+        link_prediction_scores,
+    )
+
+    e = _order_edges(spark, sf_dir)
+    s = link_prediction_scores(e)
+    return (
+        s.select(
+            "a",
+            "b",
+            "cn",
+            F.round("jaccard", 6).alias("jaccard"),
+            F.round("aa", 6).alias("aa"),
+            F.round("ra", 6).alias("ra"),
+        )
+        .orderBy(F.desc("jaccard"), "a", "b")
+        .limit(LINKPRED_TOPK)
+    )
+
+
+def _closeness_sql() -> str:
+    """Sampled Wasserman-Faust closeness twin: the harmonic twin's
+    recursive-CTE BFS, aggregated as (reached/Σd)·(reached/(n−1)) —
+    mirrors operators/bfs.py::closeness_sampled."""
+    return f"""
+WITH RECURSIVE {_EDGES_SQL},
+src AS (SELECT vertex AS s FROM vertices WHERE vertex < 8),
+walk(s, v, d) AS (
+    SELECT s, s, 0 FROM src
+    UNION
+    SELECT w.s, u.dst, w.d + 1 FROM walk w JOIN und u ON u.src = w.v
+    WHERE w.d < {BC_MAX_DEPTH}
+),
+dist AS (SELECT s, v, min(d) AS d FROM walk GROUP BY s, v),
+nn AS (SELECT count(*)::BIGINT AS n FROM vertices),
+agg AS (SELECT v AS vertex, count(*)::BIGINT AS reached, sum(d)::BIGINT AS sd
+        FROM dist WHERE d > 0 GROUP BY v)
+SELECT vertex, reached,
+       round((reached::DOUBLE / sd::DOUBLE)
+             * (reached::DOUBLE / (nn.n - 1)::DOUBLE), 6) AS closeness
+FROM agg, nn ORDER BY vertex
+"""
+
+
+def _mis_sql() -> str:
+    """Luby MIS twin, ``MIS_ROUNDS`` rounds unrolled: the identical
+    md5-priority permutation (md5('mis:'||v) || ':' || lpad(v, 12, '0')),
+    per round win = smaller than every undecided neighbor, dominate =
+    undecided neighbor of a winner — mirrors operators/mis.py::luby_mis
+    round for round."""
+    parts = [
+        f"""WITH {_EDGES_SQL},
+u0 AS (SELECT vertex,
+              md5('mis:' || vertex::VARCHAR) || ':'
+                || lpad(vertex::VARCHAR, 12, '0') AS prio
+       FROM vertices)"""
+    ]
+    for k in range(1, MIS_ROUNDS + 1):
+        p = k - 1
+        parts.append(
+            f""",
+nm{k} AS (SELECT e.dst AS vertex, min(pr.prio) AS m
+          FROM und e JOIN u{p} pr ON pr.vertex = e.src
+          WHERE e.dst IN (SELECT vertex FROM u{p})
+          GROUP BY e.dst),
+w{k} AS (SELECT u.vertex FROM u{p} u LEFT JOIN nm{k} ON nm{k}.vertex = u.vertex
+         WHERE nm{k}.m IS NULL OR u.prio < nm{k}.m),
+d{k} AS (SELECT DISTINCT e.dst AS vertex FROM und e
+         WHERE e.src IN (SELECT vertex FROM w{k})
+           AND e.dst IN (SELECT vertex FROM u{p})
+           AND e.dst NOT IN (SELECT vertex FROM w{k})),
+u{k} AS (SELECT u.* FROM u{p} u
+         WHERE u.vertex NOT IN (SELECT vertex FROM w{k})
+           AND u.vertex NOT IN (SELECT vertex FROM d{k}))"""
+        )
+    tails = [
+        f"SELECT vertex, 'undecided' AS status, -1 AS round FROM u{MIS_ROUNDS}"
+    ]
+    for k in range(1, MIS_ROUNDS + 1):
+        tails.append(f"SELECT vertex, 'in' AS status, {k} AS round FROM w{k}")
+        tails.append(f"SELECT vertex, 'out' AS status, {k} AS round FROM d{k}")
+    parts.append("\n" + "\nUNION ALL ".join(tails) + "\nORDER BY vertex")
+    return "".join(parts)
+
+
+def _linkpred_sql() -> str:
+    """All-four-score link-prediction twin: the adamic-adar twin's
+    shared-neighbor self-join widened with resource-allocation and the
+    degree-join Jaccard denominator (deg(a)+deg(b)−cn) — mirrors
+    operators/linkpred.py::link_prediction_scores."""
+    return f"""
+WITH {_EDGES_SQL},
+  deg AS (SELECT src AS w, count(*)::BIGINT AS deg FROM und GROUP BY src),
+  wn AS (SELECT u.src AS w, u.dst AS u, d.deg FROM und u JOIN deg d ON d.w = u.src),
+  pairs AS (
+    SELECT l.u AS a, r.u AS b, count(*)::BIGINT AS cn,
+           sum(1.0 / ln(l.deg)) AS aa,
+           sum(1.0 / l.deg) AS ra
+    FROM wn l JOIN wn r ON l.w = r.w AND l.u < r.u
+    GROUP BY l.u, r.u),
+  nonadj AS (
+    SELECT p.* FROM pairs p
+    WHERE NOT EXISTS (SELECT 1 FROM und e WHERE e.src = p.a AND e.dst = p.b)),
+  scored AS (
+    SELECT n.a, n.b, n.cn,
+           n.cn::DOUBLE / (da.deg + db.deg - n.cn)::DOUBLE AS jaccard,
+           n.aa, n.ra
+    FROM nonadj n JOIN deg da ON da.w = n.a JOIN deg db ON db.w = n.b)
+SELECT a, b, cn, round(jaccard, 6) AS jaccard, round(aa, 6) AS aa,
+       round(ra, 6) AS ra
+FROM scored ORDER BY round(jaccard, 6) DESC, a, b LIMIT {LINKPRED_TOPK}
+"""
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing (deterministic fake decode — rows-only)
 # ---------------------------------------------------------------------------
@@ -1820,11 +2001,14 @@ _PPR_TELE_SQL = (
 )
 
 
-def _betweenness_sql() -> str:
-    """Full Brandes in SQL for the 64-source sample: recursive-CTE BFS for
-    distances, then depth-unrolled DP (depth > measured graph diameter) for
-    sigma (shortest-path counts, forward) and delta (dependency
-    accumulation, reverse) — layer k's CTE references only layer k±1."""
+def _brandes_ctes() -> str:
+    """Shared Brandes scaffolding in SQL for the 64-source sample:
+    recursive-CTE BFS for distances, then depth-unrolled DP (depth >
+    measured graph diameter) for sigma (shortest-path counts, forward) and
+    delta (dependency accumulation, reverse) — layer k's CTE references
+    only layer k±1.  Ends with ``sig`` (s, v, sigma, d) over depths 0..D
+    and ``alldel`` (s, v, delta) over depths 1..D; the vertex and edge
+    betweenness twins append their own final aggregation."""
     D = BC_MAX_DEPTH
     # AS MATERIALIZED: DuckDB inlines plain CTEs, so the ~3·D references to
     # `und`/`dist`/`sig` would each re-open the parquet scan (fd exhaustion)
@@ -1886,14 +2070,47 @@ def _betweenness_sql() -> str:
 """
         )
     union_del = " UNION ALL ".join(f"SELECT * FROM del{k}" for k in range(1, D + 1))
-    parts.append(
-        f""",
-  bcsum AS (SELECT v AS vertex, sum(delta) AS b FROM ({union_del}) GROUP BY v)
+    parts.append(f",\n  alldel AS MATERIALIZED ({union_del})")
+    return "".join(parts)
+
+
+def _betweenness_sql() -> str:
+    """Vertex betweenness tail over ``_brandes_ctes``: sum delta over
+    sources per vertex, halve (undirected), zero-fill unreached."""
+    return (
+        _brandes_ctes()
+        + """,
+  bcsum AS (SELECT v AS vertex, sum(delta) AS b FROM alldel GROUP BY v)
 SELECT vt.vertex, round(coalesce(b, 0.0) * 0.5, 6) AS bc
 FROM vertices vt LEFT JOIN bcsum USING (vertex) ORDER BY vertex
 """
     )
-    return "".join(parts)
+
+
+def _edge_betweenness_sql() -> str:
+    """Edge betweenness tail over ``_brandes_ctes``: for every DAG edge
+    (v, w) with dist_w = dist_v + 1 credit sigma_v/sigma_w*(1+delta_w),
+    sum over sources, canonicalize (min, max), halve — mirrors
+    operators/betweenness.py::edge_betweenness_bsp's one extra join pass
+    over the final BSP state."""
+    return (
+        _brandes_ctes()
+        + """,
+  credit AS (
+    SELECT lv.s, lv.v AS v, u.dst AS w,
+           lv.sigma / gw.sigma * (1.0 + dl.delta) AS c
+    FROM sig lv
+    JOIN und u ON u.src = lv.v
+    JOIN sig gw ON gw.s = lv.s AND gw.v = u.dst AND gw.d = lv.d + 1
+    JOIN alldel dl ON dl.s = lv.s AND dl.v = u.dst),
+  ecred AS (
+    SELECT least(v, w) AS a, greatest(v, w) AS b, sum(c) AS sc
+    FROM credit GROUP BY 1, 2)
+SELECT c.a, c.b, round(coalesce(sc, 0.0) * 0.5, 6) AS ebc
+FROM (SELECT src AS a, dst AS b FROM und WHERE src < dst) c
+LEFT JOIN ecred USING (a, b) ORDER BY a, b
+"""
+    )
 
 
 def _minhash_md5_sql(k: int = 32, bands: int = 16, threshold: float = 0.3) -> str:
@@ -2090,6 +2307,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_community_centroids": graph_community_centroids,
         "graph_betweenness": graph_betweenness,
         "graph_betweenness_weighted": graph_betweenness_weighted,
+        "graph_edge_betweenness": graph_edge_betweenness,
+        "graph_closeness": graph_closeness,
+        "graph_mis": graph_mis,
+        "graph_linkpred": graph_linkpred,
         "graph_louvain2": graph_louvain2,
         "graph_bfs_dist": graph_bfs_dist,
         "graph_diameter_sweep": graph_diameter_sweep,
@@ -2390,6 +2611,10 @@ def oracle_sql() -> dict[str, str]:
         "graph_modularity": _modularity_sql(),
         "graph_community_centroids": _community_centroids_sql(),
         "graph_betweenness": _betweenness_sql(),
+        "graph_edge_betweenness": _edge_betweenness_sql(),
+        "graph_closeness": _closeness_sql(),
+        "graph_mis": _mis_sql(),
+        "graph_linkpred": _linkpred_sql(),
         "graph_betweenness_weighted": _betweenness_weighted_sql(),
         "graph_louvain2": _louvain2_sql(),
         "graph_bfs_dist": f"""
