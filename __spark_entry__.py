@@ -477,6 +477,44 @@ def doc_tfidf_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BM25_TOPK = 20
+
+
+def doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-20 docs for the in-plan-derived 2-term query (the
+    two highest-df terms, ties → term asc) — ranking on the ROUNDED score
+    keeps the cross-engine order identical; the twin replays the same
+    tokenize/df/length/idf pipeline in SQL."""
+    from parallel_betweenness_centrality_using_bsp_spark.operators.features import bm25_scores
+
+    d = _t(spark, sf_dir, "documents")
+    s = bm25_scores(d).withColumn("bm25", F.round("bm25", 6))
+    return s.orderBy(F.desc("bm25"), "doc_id").limit(BM25_TOPK)
+
+
+def _bm25_sql() -> str:
+    return rf"""
+WITH toks AS (
+    SELECT doc_id, unnest(regexp_extract_all(lower(trim(text)), '\S+')) AS term
+    FROM documents),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY doc_id, term),
+dfreq AS (SELECT term, count(*)::BIGINT AS dfq FROM tf GROUP BY term),
+n AS (SELECT count(DISTINCT doc_id)::DOUBLE AS nd FROM tf),
+dlen AS (SELECT doc_id, sum(tf)::DOUBLE AS dl FROM tf GROUP BY doc_id),
+ad AS (SELECT avg(dl) AS avgdl FROM dlen),
+q AS (SELECT term FROM dfreq ORDER BY dfq DESC, term ASC LIMIT 2),
+scored AS (
+    SELECT t.doc_id,
+           ln(1.0 + ((SELECT nd FROM n) - d.dfq + 0.5) / (d.dfq + 0.5))
+             * t.tf * (1.2 + 1.0)
+             / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / (SELECT avgdl FROM ad))) AS s
+    FROM tf t JOIN q USING (term) JOIN dfreq d USING (term) JOIN dlen l USING (doc_id))
+SELECT doc_id, round(sum(s), 6) AS bm25
+FROM scored GROUP BY doc_id
+ORDER BY round(sum(s), 6) DESC, doc_id LIMIT {BM25_TOPK}
+"""
+
+
 def doc_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 20% hash sample of documents, summarized per predicted
     language with EXACT percentile stats (median + p90 of token counts) —
@@ -669,6 +707,57 @@ def ann_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+KMEANS_K = 8
+KMEANS_ROUNDS = 2
+
+
+def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-round in-plan Lloyd k-means over the embedding table —
+    ORACLE-GATED via the quantized-arithmetic family: centroids and
+    distances are rounded to 6dp before every discrete decision, so the
+    depth-unrolled SQL twin replays both assignment rounds exactly."""
+    from parallel_betweenness_centrality_using_bsp_spark.operators.similarity import kmeans_rounds
+
+    v = _t(spark, sf_dir, "embeddings")
+    return kmeans_rounds(spark, v, k=KMEANS_K, rounds=KMEANS_ROUNDS).orderBy("vec_id")
+
+
+def _kmeans_sql() -> str:
+    """``KMEANS_ROUNDS`` Lloyd rounds unrolled: position-exploded vectors,
+    rounded centroids, rounded squared-L2 argmin with cid tie-break —
+    mirrors operators/similarity.py::kmeans_rounds."""
+    parts = [
+        f"""WITH f AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+ex AS (SELECT vec_id, g.i AS pos, v[g.i]::DOUBLE AS val
+       FROM f CROSS JOIN generate_series(1, 64) AS g(i)),
+c1 AS (SELECT vec_id AS cid, pos, round(val, 6) AS cval
+       FROM ex WHERE vec_id < {KMEANS_K})"""
+    ]
+    for r in range(1, KMEANS_ROUNDS + 1):
+        parts.append(
+            f""",
+d{r} AS (SELECT e.vec_id, c.cid,
+               round(sum((e.val - c.cval) * (e.val - c.cval)), 6) AS d2
+         FROM ex e JOIN c{r} c USING (pos) GROUP BY 1, 2),
+a{r} AS (SELECT vec_id, cid, d2 FROM (
+           SELECT vec_id, cid, d2,
+                  row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rk
+           FROM d{r}) WHERE rk = 1)"""
+        )
+        if r < KMEANS_ROUNDS:
+            parts.append(
+                f""",
+c{r + 1} AS (SELECT a.cid, e.pos, round(avg(e.val), 6) AS cval
+             FROM a{r} a JOIN ex e USING (vec_id) GROUP BY 1, 2)"""
+            )
+    parts.append(
+        f"""
+SELECT vec_id, cid AS cluster, d2 FROM a{KMEANS_ROUNDS} ORDER BY vec_id
+"""
+    )
+    return "".join(parts)
 
 
 # ---------------------------------------------------------------------------
@@ -2293,6 +2382,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup_exact": embedding_neardup_exact,
         "ann_topk": ann_topk,
         "ann_topk_indexed": ann_topk_indexed,
+        "embedding_kmeans": embedding_kmeans,
+        "doc_bm25_topk": doc_bm25_topk,
         # graph kernels
         "graph_degree_topk": graph_degree_topk,
         "graph_triangle_count": graph_triangle_count,
@@ -2711,6 +2802,8 @@ def oracle_sql() -> dict[str, str]:
         # quantized planes ⇒ same probe set ⇒ same top-k) — the SQL twin is
         # shared; the Spark side differs by reading the pruned index
         "ann_topk_indexed": _ann_quantized_sql(),
+        "embedding_kmeans": _kmeans_sql(),
+        "doc_bm25_topk": _bm25_sql(),
         "multimodal_pipeline": """
             WITH assets AS (
                 SELECT range AS id,

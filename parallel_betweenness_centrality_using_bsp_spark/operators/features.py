@@ -202,3 +202,70 @@ def community_feature_centroids(
     )
     cent = ex.groupBy("label", "pos").agg(F.avg("val").alias("centroid"))
     return cent.join(sizes, "label")
+
+
+def bm25_scores(
+    df: DataFrame,
+    query_terms: list[str] | None = None,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_query_terms: int = 2,
+) -> DataFrame:
+    """(doc_id, bm25): Okapi BM25 relevance of every matching document to
+    ``query_terms`` (Robertson-Sparck Jones idf in the always-positive
+    Lucene form, ``ln(1 + (N − df + 0.5)/(df + 0.5))``)::
+
+        score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·|d|/avg|d|))
+
+    ``query_terms=None`` derives the query in-plan and deterministically:
+    the ``top_query_terms`` highest-document-frequency terms (ties → term
+    asc) — reproducible in any engine, no RNG, no driver-side vocabulary.
+
+    Plan shape: ONE tokenize pass shared with ``tf_idf_terms`` (same
+    ``\\S+`` regexp tokens), then document length and corpus-average
+    length as hash aggregations over the (doc, term, tf) relation; the
+    query relation (a handful of rows) broadcasts into tf, so the scoring
+    join touches only matching (doc, term) rows — at web scale the scan
+    is pruned by the broadcast semi-join, never a full corpus re-read.
+    Summed per doc with map-side combine.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.regexp_extract_all(F.lower(F.trim(F.col(text_col))), F.lit(r"\S+"), 0)
+        ).alias("term"),
+    )
+    tf = (
+        toks.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dfq"))
+    nd = tf.agg(F.countDistinct("doc_id").cast("double").alias("nd"))
+    dlen = tf.groupBy("doc_id").agg(F.sum("tf").cast("double").alias("dl"))
+    avgdl = dlen.agg(F.avg("dl").alias("avgdl"))
+    if query_terms is None:
+        q = dfreq.orderBy(F.desc("dfq"), F.asc("term")).limit(top_query_terms).select("term")
+    else:
+        q = tf.sparkSession.createDataFrame([(t,) for t in query_terms], ["term"])
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("nd") - F.col("dfq") + F.lit(0.5)) / (F.col("dfq") + F.lit(0.5))
+    )
+    tf_d = F.col("tf").cast("double")
+    denom = tf_d + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl")
+    )
+    return (
+        tf.join(F.broadcast(q), "term")
+        .join(dfreq, "term")
+        .join(dlen, "doc_id")
+        .join(F.broadcast(nd))
+        .join(F.broadcast(avgdl))
+        .select("doc_id", (idf * tf_d * F.lit(k1 + 1.0) / denom).alias("_s"))
+        .groupBy("doc_id")
+        .agg(F.sum("_s").alias("bm25"))
+    )

@@ -403,3 +403,82 @@ def embedding_neardup_pairs(
         )
         .where(F.col("cos") >= threshold)
     )
+
+
+def kmeans_rounds(
+    spark: SparkSession,
+    df: DataFrame,
+    *,
+    k: int = 8,
+    rounds: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Fixed-round Lloyd k-means, fully in-plan and engine-portable — the
+    oracle-gateable twin of ``train_ivf`` (which keeps float64 numpy
+    centroids driver-side for the IVF index build).
+
+    Portability contract (the quantized-arithmetic family, like
+    ``ann_topk_quantized``): every cross-engine-compared float is rounded
+    to 6 decimals at the point it feeds a DISCRETE decision —
+
+    - centroids (init = the ``k`` lowest-id vectors; update = per-dim
+      mean over the cluster) are rounded before the next assignment,
+    - squared L2 distances are rounded before the argmin,
+    - argmin ties break toward the lower centroid id (``min(struct(d2,
+      cid))`` — a lexicographic struct-min, one hash agg with map-side
+      combine, NO window sort),
+
+    so ulp-level summation-order noise can never flip an assignment and a
+    depth-unrolled SQL twin replays the run exactly.
+
+    Plan shape per round: the k×dim centroid relation (small BY
+    DEFINITION) broadcasts into the position-exploded vector table —
+    (n·dim) × k multiply-accumulate rows reduced by ONE hash aggregation
+    on (vec_id, cid), then the struct-min argmin on vec_id; the update is
+    a hash mean on (cid, pos).  Everything shuffles on high-cardinality
+    keys (vec_id / (cid, pos)); nothing is driver-side, no RDDs, no
+    per-row Python.
+
+    Returns ``(vec_id long, cluster long, d2 double)`` after ``rounds``
+    assignment passes (the last assignment is returned; ``rounds`` ≥ 1).
+    """
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    p = num_partitions or spark.sparkContext.defaultParallelism
+    ex = (
+        df.select(
+            F.col(id_col).alias("vec_id"),
+            F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "val"),
+        )
+        .repartition(p, "vec_id")
+        .localCheckpoint(eager=True)  # reused every round: explode once
+    )
+    cent = ex.where(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cid"), "pos", F.round("val", 6).alias("cval")
+    )
+    asg = None
+    for r in range(rounds):
+        d2 = (
+            ex.join(F.broadcast(cent), "pos")
+            .groupBy("vec_id", "cid")
+            .agg(
+                F.round(
+                    F.sum((F.col("val") - F.col("cval")) * (F.col("val") - F.col("cval"))),
+                    6,
+                ).alias("d2")
+            )
+        )
+        best = d2.groupBy("vec_id").agg(F.min(F.struct("d2", "cid")).alias("_m"))
+        asg = best.select(
+            "vec_id", F.col("_m.cid").alias("cluster"), F.col("_m.d2").alias("d2")
+        )
+        if r < rounds - 1:
+            asg = asg.localCheckpoint(eager=True)
+            cent = (
+                ex.join(asg.select("vec_id", F.col("cluster").alias("cid")), "vec_id")
+                .groupBy("cid", "pos")
+                .agg(F.round(F.avg("val"), 6).alias("cval"))
+            )
+    return asg
