@@ -775,6 +775,37 @@ def graph_degree_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman degree assortativity — ORACLE-GATED with exact-integer
+    sufficient statistics (BIGINT Σdudv/Σdu/Σdu² are partition-order-proof),
+    so the twin is one identical double expression, no quantization."""
+    from parallel_betweenness_centrality_using_bsp_spark.operators.edges import degree_assortativity
+
+    e = _order_edges(spark, sf_dir)
+    a = degree_assortativity(e)
+    return a.select("n_dir_edges", F.round("assortativity", 6).alias("assortativity"))
+
+
+def _assortativity_sql() -> str:
+    return f"""
+WITH {_EDGES_SQL},
+deg AS (SELECT src AS vertex, count(*)::BIGINT AS degree FROM und GROUP BY src),
+s AS (
+    SELECT count(*)::BIGINT AS m,
+           sum(du.degree * dv.degree)::BIGINT AS sxy,
+           sum(du.degree)::BIGINT AS sx,
+           sum(du.degree * du.degree)::BIGINT AS sxx
+    FROM und e
+    JOIN deg du ON du.vertex = e.src
+    JOIN deg dv ON dv.vertex = e.dst)
+SELECT m AS n_dir_edges,
+       round((sxy::DOUBLE / md - (sx::DOUBLE / md) * (sx::DOUBLE / md))
+             / NULLIF(sxx::DOUBLE / md - (sx::DOUBLE / md) * (sx::DOUBLE / md), 0),
+             6) AS assortativity
+FROM (SELECT *, NULLIF(m::DOUBLE, 0) AS md FROM s)
+"""
+
+
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from parallel_betweenness_centrality_using_bsp_spark.operators.triangles import triangle_triples
 
@@ -2386,6 +2417,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bm25_topk": doc_bm25_topk,
         # graph kernels
         "graph_degree_topk": graph_degree_topk,
+        "graph_assortativity": graph_assortativity,
         "graph_triangle_count": graph_triangle_count,
         "graph_components": graph_components,
         "graph_components_star": graph_components_star,
@@ -2669,6 +2701,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT src AS vertex, count(*) AS degree FROM edges
             GROUP BY src ORDER BY degree DESC, vertex LIMIT 20
         """,
+        "graph_assortativity": _assortativity_sql(),
         "graph_triangle_count": f"""
             WITH {_EDGES_SQL}
             SELECT count(*) AS n_triangles

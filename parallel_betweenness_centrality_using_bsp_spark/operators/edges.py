@@ -152,3 +152,53 @@ def partition_edges(edges: DataFrame, num_partitions: int, key: str = "src") -> 
     run so every superstep's frontier join reuses the same layout instead of
     re-shuffling the (big) edge side each iteration."""
     return edges.repartition(num_partitions, key).persist()
+
+
+def degree_assortativity(edges: DataFrame) -> DataFrame:
+    """1-row ``(n_dir_edges long, assortativity double)`` — Newman's degree
+    assortativity coefficient (Newman 2002, "Assortative mixing in
+    networks") of the undirected graph: the Pearson correlation of the
+    degree pairs (deg(u), deg(v)) over every DIRECTED occurrence of an
+    undirected edge (both orientations — the standard symmetric estimator,
+    ``networkx.degree_assortativity_coefficient``'s convention).
+
+    Exactness contract (stronger than the 6dp-quantized float families):
+    degrees are integers, so Σd_u·d_v, Σd_u, Σd_u² are accumulated as
+    BIGINTs — EXACT in any engine and any partition order — and the
+    coefficient is one double expression over five exact integers, so the
+    oracle twin matches bit-for-bit, not just at 6 decimals.
+
+    Plan shape: one degree aggregation, two broadcast-or-shuffle joins of
+    the (small) degree relation into the symmetrized edge list, ONE global
+    aggregation with map-side combine.  The global agg is a single-row
+    reduce — no groupBy key, no skew surface.
+
+    Degenerate inputs: on a REGULAR graph the degree variance is 0, so the
+    coefficient is undefined (``networkx`` returns nan there) — we return
+    NULL via ``try_divide``; likewise on an empty edge set (m = 0).  Under
+    ANSI mode a plain ``/`` would abort the whole job on such inputs.
+    """
+    e = symmetrize(edges)
+    deg = degrees(edges, "both")
+    du = deg.select(F.col("vertex").alias("src"), F.col("degree").alias("_du"))
+    dv = deg.select(F.col("vertex").alias("dst"), F.col("degree").alias("_dv"))
+    s = (
+        e.join(du, "src")
+        .join(dv, "dst")
+        .agg(
+            F.count(F.lit(1)).alias("m"),
+            F.sum(F.col("_du") * F.col("_dv")).alias("sxy"),
+            F.sum("_du").alias("sx"),
+            F.sum(F.col("_du") * F.col("_du")).alias("sxx"),
+        )
+    )
+    m = F.col("m").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sx = F.col("sx").cast("double")
+    sxx = F.col("sxx").cast("double")
+    # symmetric estimator: x and y marginals coincide, so sy=sx, syy=sxx
+    mu = F.try_divide(sx, m)
+    r = F.try_divide(
+        F.try_divide(sxy, m) - mu * mu, F.try_divide(sxx, m) - mu * mu
+    )
+    return s.select(F.col("m").alias("n_dir_edges"), r.alias("assortativity"))

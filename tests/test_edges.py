@@ -88,3 +88,29 @@ def test_from_import_edges(spark):
         (vmap["src/mod_0.py"], vmap["src/mod_1.py"]),
         (vmap["src/mod_0.py"], vmap["src/mod_2.py"]),
     }
+
+
+def test_degree_assortativity_vs_networkx(spark):
+    """Newman assortativity matches NetworkX on ER and BA fixtures (1e-9 —
+    the sufficient statistics are exact integers, only the final division
+    is float)."""
+    import networkx as nx
+
+    from parallel_betweenness_centrality_using_bsp_spark.operators.edges import degree_assortativity
+    from tests.oracles import ba_graph, er_graph
+
+    for edges in (er_graph(120, 0.05, seed=7), ba_graph(200, 3, seed=7)):
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = degree_assortativity(df).collect()[0]
+        g = nx.Graph()
+        g.add_edges_from(edges)
+        want = nx.degree_assortativity_coefficient(g)
+        assert got["n_dir_edges"] == 2 * g.number_of_edges()
+        assert abs(got["assortativity"] - want) < 1e-9
+
+    # regular graph: degree variance 0 -> undefined; NULL, not a crash
+    ring = [(i, (i + 1) % 10) for i in range(10)]
+    got = degree_assortativity(
+        spark.createDataFrame(ring, "src long, dst long")
+    ).collect()[0]
+    assert got["assortativity"] is None
