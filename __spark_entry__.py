@@ -435,6 +435,88 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-PMI collocation extraction (Church & Hanks 1990) — top 30 by
+    rounded PMI with a min-count floor.  Counts are exact BIGINTs in both
+    engines; the sort keys (round(pmi,6), bigram) form a total order, so
+    the LIMIT cuts identically."""
+    from parallel_betweenness_centrality_using_bsp_spark.operators.features import bigram_pmi
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        bigram_pmi(d, min_count=5)
+        .select("bigram", "n_xy", F.round("pmi", 6).alias("pmi"))
+        .orderBy(F.desc("pmi"), F.asc("bigram"))
+        .limit(30)
+    )
+
+
+def _pmi_sql() -> str:
+    return r"""
+WITH toks AS (
+    SELECT regexp_extract_all(lower(trim(text)), '\S+') AS t FROM documents),
+uni AS (
+    SELECT term, count(*)::BIGINT AS c
+    FROM (SELECT unnest(t) AS term FROM toks) GROUP BY term),
+tot AS (
+    SELECT sum(len(t))::BIGINT AS n_u,
+           sum(greatest(len(t) - 1, 0))::BIGINT AS n_bg FROM toks),
+pairs AS (
+    SELECT string_split(bg, ' ')[1] AS x, string_split(bg, ' ')[2] AS y,
+           count(*)::BIGINT AS n_xy
+    FROM (SELECT unnest(list_transform(range(1, len(t)),
+                                       i -> t[i] || ' ' || t[i + 1])) AS bg
+          FROM toks WHERE len(t) >= 2)
+    GROUP BY 1, 2 HAVING count(*) >= 5)
+SELECT p.x || ' ' || p.y AS bigram, p.n_xy,
+       round(ln((p.n_xy::DOUBLE / t.n_bg::DOUBLE)
+                / ((ux.c::DOUBLE / t.n_u::DOUBLE) * (uy.c::DOUBLE / t.n_u::DOUBLE))),
+             6) AS pmi
+FROM pairs p
+JOIN uni ux ON ux.term = p.x
+JOIN uni uy ON uy.term = p.y, tot t
+ORDER BY pmi DESC, bigram LIMIT 30
+"""
+
+
+def orders_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: order-year × order-status revenue matrix.  Sums run over
+    DECIMAL(18,2) — exact in any engine and partition order — and only the
+    final presentation cast is float."""
+    o = _t(spark, sf_dir, "orders")
+    piv = (
+        o.select(
+            F.year("o_orderdate").alias("o_year"),
+            "o_orderstatus",
+            F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+        )
+        .groupBy("o_year")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.sum("price"))
+    )
+    return piv.select(
+        "o_year",
+        F.round(F.col("F").cast("double"), 2).alias("rev_f"),
+        F.round(F.col("O").cast("double"), 2).alias("rev_o"),
+        F.round(F.col("P").cast("double"), 2).alias("rev_p"),
+    ).orderBy("o_year")
+
+
+def events_rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-frame window aggregates: 4-row rolling mean + lag delta per
+    user, ordered by (ts, event_id) — a unique total order, so frames are
+    identical in any engine."""
+    e = _t(spark, sf_dir, "events").where(F.col("user_id") < 40)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    roll = w.rowsBetween(-3, 0)
+    return e.select(
+        "user_id",
+        "event_id",
+        F.round(F.avg("value").over(roll), 6).alias("roll_avg4"),
+        F.round(F.col("value") - F.lag("value", 1).over(w), 6).alias("delta_prev"),
+    ).orderBy("user_id", "event_id")
+
+
 def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from parallel_betweenness_centrality_using_bsp_spark.functions.text import lang_id
 
@@ -2398,6 +2480,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cube": events_cube,
         # text + dedup
         "doc_token_stats": doc_token_stats,
+        "doc_pmi_bigrams": doc_pmi_bigrams,
+        "orders_pivot_status": orders_pivot_status,
+        "events_rolling_stats": events_rolling_stats,
         "doc_unigram_surprisal": doc_unigram_surprisal,
         "doc_lang_id": doc_lang_id,
         "doc_quality_topk": doc_quality_topk,
@@ -2597,6 +2682,25 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS n_bpe_tokens,
                    length(text) AS n_chars_live
             FROM documents WHERE doc_id < 200 ORDER BY doc_id
+        """,
+        "doc_pmi_bigrams": _pmi_sql(),
+        "orders_pivot_status": """
+            SELECT year(o_orderdate) AS o_year,
+                   round(sum(CASE WHEN o_orderstatus = 'F'
+                             THEN o_totalprice::DECIMAL(18,2) END)::DOUBLE, 2) AS rev_f,
+                   round(sum(CASE WHEN o_orderstatus = 'O'
+                             THEN o_totalprice::DECIMAL(18,2) END)::DOUBLE, 2) AS rev_o,
+                   round(sum(CASE WHEN o_orderstatus = 'P'
+                             THEN o_totalprice::DECIMAL(18,2) END)::DOUBLE, 2) AS rev_p
+            FROM orders GROUP BY 1 ORDER BY o_year
+        """,
+        "events_rolling_stats": """
+            SELECT user_id, event_id,
+                   round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                          ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6) AS roll_avg4,
+                   round(value - lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                         6) AS delta_prev
+            FROM events WHERE user_id < 40 ORDER BY user_id, event_id
         """,
         "doc_unigram_surprisal": r"""
             WITH toks AS (

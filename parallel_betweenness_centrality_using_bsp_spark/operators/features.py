@@ -269,3 +269,71 @@ def bm25_scores(
         .groupBy("doc_id")
         .agg(F.sum("_s").alias("bm25"))
     )
+
+
+def bigram_pmi(
+    df: DataFrame, text_col: str = "text", min_count: int = 5
+) -> DataFrame:
+    """(x, y, bigram, n_xy, pmi): pointwise mutual information of adjacent
+    token pairs — the classic collocation extractor a corpus pipeline runs
+    to find multi-word expressions worth fusing into single tokens before
+    tokenizer training (Church & Hanks 1990).
+
+    PMI(x,y) = ln( (c_xy/N_bg) / ((c_x/N_u)·(c_y/N_u)) ) with corpus-global
+    counts.  Plan shape: ONE tokenize expression feeds three branches — the
+    unigram hash agg, the adjacent-pair hash agg (pairs built in-plan with
+    ``transform(sequence(...))`` — JVM-side, no UDF, no positional
+    self-join), and a 1-row total aggregate (N_u and N_bg from token counts
+    alone, no explode).  ``min_count`` prunes the pair table BEFORE the two
+    unigram joins, so the rare-pair long tail (the bulk of the mass at web
+    scale, by Zipf) never reaches a shuffle; the joins themselves key on
+    distinct terms — balanced by construction (a hot term has ONE
+    unigram row).  All counts are exact BIGINTs; only the final ln is
+    float, so an oracle twin agrees at far better than 6 dp.
+    """
+    toks = df.select(
+        F.regexp_extract_all(
+            F.lower(F.trim(F.col(text_col))), F.lit(r"\S+"), 0
+        ).alias("t")
+    )
+    uni = (
+        toks.select(F.explode("t").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    pairs = (
+        toks.where(F.size("t") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(t)-2),"
+                    " i -> struct(t[i] AS x, t[i+1] AS y))"
+                )
+            ).alias("p")
+        )
+        .groupBy(F.col("p.x").alias("x"), F.col("p.y").alias("y"))
+        .agg(F.count(F.lit(1)).alias("n_xy"))
+        .where(F.col("n_xy") >= min_count)
+    )
+    tot = toks.select(F.size("t").alias("nt")).agg(
+        F.sum("nt").alias("n_u"),
+        F.sum(F.greatest(F.col("nt") - 1, F.lit(0))).alias("n_bg"),
+    )
+    ux = uni.select(F.col("term").alias("x"), F.col("c").alias("c_x"))
+    uy = uni.select(F.col("term").alias("y"), F.col("c").alias("c_y"))
+    pmi = F.log(
+        (F.col("n_xy") / F.col("n_bg"))
+        / ((F.col("c_x") / F.col("n_u")) * (F.col("c_y") / F.col("n_u")))
+    )
+    return (
+        pairs.join(ux, "x")
+        .join(uy, "y")
+        .join(F.broadcast(tot))
+        .select(
+            "x",
+            "y",
+            F.concat_ws(" ", "x", "y").alias("bigram"),
+            "n_xy",
+            pmi.alias("pmi"),
+        )
+    )

@@ -98,3 +98,40 @@ def test_unigram_surprisal_ranks_rare_tokens_higher(spark):
     # doc 1: 2x common + 2 singletons
     want1 = (2 * -math.log(10 / 12) + 2 * -math.log(1 / 12)) / 4
     assert math.isclose(got[1][1], want1, rel_tol=1e-9)
+
+
+def test_bigram_pmi_matches_hand_count(spark):
+    """PMI vs a pure-python recount on a tiny corpus (counts exact,
+    ln float at 1e-12)."""
+    import math
+    from collections import Counter
+
+    from parallel_betweenness_centrality_using_bsp_spark.operators.features import bigram_pmi
+
+    corpus = [
+        "new york is a big city",
+        "new york has new parks",
+        "a city has parks",
+        "one",
+        "",
+    ]
+    df = spark.createDataFrame([(t,) for t in corpus], "text string")
+    got = {
+        (r["x"], r["y"]): (r["n_xy"], r["pmi"])
+        for r in bigram_pmi(df, min_count=1).collect()
+    }
+
+    uni, big = Counter(), Counter()
+    n_u = n_bg = 0
+    for t in corpus:
+        toks = t.split()
+        uni.update(toks)
+        n_u += len(toks)
+        pairs = list(zip(toks, toks[1:]))
+        big.update(pairs)
+        n_bg += len(pairs)
+    assert set(got) == set(big)
+    for (x, y), c in big.items():
+        want = math.log((c / n_bg) / ((uni[x] / n_u) * (uni[y] / n_u)))
+        assert got[(x, y)][0] == c
+        assert abs(got[(x, y)][1] - want) < 1e-12
