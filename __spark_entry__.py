@@ -1940,6 +1940,70 @@ def graph_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
     return luby_mis(spark, e, rounds=MIS_ROUNDS).orderBy("vertex")
 
 
+COLORING_ROUNDS = 3
+
+
+def graph_coloring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jones-Plassmann greedy coloring, 3 fixed synchronous rounds —
+    ORACLE-GATED round-for-round on the portable md5('col:'||v) priority
+    permutation: winners are priority-local-minima among the uncolored
+    (an independent set, so same-round picks never conflict) and take the
+    mex of their already-colored neighbors' colors; the still-uncolored
+    remainder surfaces as color = -1."""
+    from parallel_betweenness_centrality_using_bsp_spark.operators.coloring import (
+        jones_plassmann_coloring,
+    )
+
+    e = _order_edges(spark, sf_dir)
+    return jones_plassmann_coloring(spark, e, rounds=COLORING_ROUNDS).orderBy("vertex")
+
+
+def _coloring_sql() -> str:
+    """Jones-Plassmann twin, ``COLORING_ROUNDS`` rounds unrolled: identical
+    md5 priorities, per round win = smaller than every uncolored neighbor,
+    color = mex over colored-neighbor colors via the sorted-prefix trick
+    (len of the prefix where arr[i] == i-1, 1-based lambda index) —
+    mirrors operators/coloring.py::jones_plassmann_coloring."""
+    parts = [
+        f"""WITH {_EDGES_SQL},
+u0 AS (SELECT vertex,
+              md5('col:' || vertex::VARCHAR) || ':'
+                || lpad(vertex::VARCHAR, 12, '0') AS prio
+       FROM vertices),
+c0 AS (SELECT vertex, 0::INT AS color, 0 AS round FROM vertices WHERE false)"""
+    ]
+    for k in range(1, COLORING_ROUNDS + 1):
+        p = k - 1
+        parts.append(
+            f""",
+nm{k} AS (SELECT e.dst AS vertex, min(pr.prio) AS m
+          FROM und e JOIN u{p} pr ON pr.vertex = e.src
+          WHERE e.dst IN (SELECT vertex FROM u{p})
+          GROUP BY e.dst),
+w{k} AS (SELECT u.vertex FROM u{p} u LEFT JOIN nm{k} ON nm{k}.vertex = u.vertex
+         WHERE nm{k}.m IS NULL OR u.prio < nm{k}.m),
+pal{k} AS (SELECT e.src AS vertex, list_sort(list(DISTINCT c.color)) AS cs
+           FROM und e JOIN c{p} c ON c.vertex = e.dst
+           WHERE e.src IN (SELECT vertex FROM w{k})
+           GROUP BY e.src),
+wc{k} AS (SELECT w.vertex,
+                 coalesce(len(list_filter(pal{k}.cs, (x, i) -> x = i - 1)), 0)::INT AS color
+          FROM w{k} w LEFT JOIN pal{k} ON pal{k}.vertex = w.vertex),
+c{k} AS (SELECT * FROM c{p}
+         UNION ALL SELECT vertex, color, {k} AS round FROM wc{k}),
+u{k} AS (SELECT u.* FROM u{p} u
+         WHERE u.vertex NOT IN (SELECT vertex FROM w{k}))"""
+        )
+    parts.append(
+        f"""
+SELECT vertex, color, round FROM c{COLORING_ROUNDS}
+UNION ALL
+SELECT vertex, -1 AS color, -1 AS round FROM u{COLORING_ROUNDS}
+ORDER BY vertex"""
+    )
+    return "".join(parts)
+
+
 LINKPRED_TOPK = 50
 
 
@@ -2518,6 +2582,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_edge_betweenness": graph_edge_betweenness,
         "graph_closeness": graph_closeness,
         "graph_mis": graph_mis,
+        "graph_coloring3": graph_coloring,
         "graph_linkpred": graph_linkpred,
         "graph_louvain2": graph_louvain2,
         "graph_bfs_dist": graph_bfs_dist,
@@ -2842,6 +2907,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_edge_betweenness": _edge_betweenness_sql(),
         "graph_closeness": _closeness_sql(),
         "graph_mis": _mis_sql(),
+        "graph_coloring3": _coloring_sql(),
         "graph_linkpred": _linkpred_sql(),
         "graph_betweenness_weighted": _betweenness_weighted_sql(),
         "graph_louvain2": _louvain2_sql(),
