@@ -177,6 +177,7 @@ def betweenness_weighted(
             # only from rows whose sigma moved in round k-1
             (F.col("vertex") == F.col("source")).alias("chg"),
         ).localCheckpoint(eager=True)
+        sigma_rounds = 0
         for _ in range(max_hops):
             changed = sigma.where(F.col("chg"))
             if changed.isEmpty():
@@ -230,13 +231,21 @@ def betweenness_weighted(
                 .localCheckpoint(eager=True)
             )
             total_steps += 1
+            sigma_rounds += 1
 
         # ---- phase 3: delta fixpoint, backward over the DAG -------------
+        # Round count is KNOWN, not detected: sigma ran until stationary,
+        # so ``sigma_rounds`` >= DAG depth + 1, and delta propagated
+        # leaf-up is stationary after exactly DAG-depth rounds.  Running
+        # that many rounds blind drops the per-round convergence join +
+        # driver sync the earlier code paid (one full state join and one
+        # .first() per superstep -- pure overhead once the depth is
+        # already measured by sigma's own fixpoint).
         sv = sigma.select("source", "vertex", "sigma")
         delta = sv.select(
             "source", "vertex", F.lit(0.0).alias("delta")
         ).localCheckpoint(eager=True)
-        for _ in range(max_hops):
+        for _ in range(min(sigma_rounds, max_hops)):
             # δ(v) = Σ_{w succ} σ(v)/σ(w) · (1 + δ(w)) — recomputed in full
             # each round; stationary once rounds exceed the DAG depth
             dw = delta.select(
@@ -258,7 +267,7 @@ def betweenness_weighted(
                     ).alias("d")
                 )
             )
-            new_delta = (
+            delta = (
                 sv.select("source", "vertex")
                 .join(contrib, ["source", "vertex"], "left")
                 .select(
@@ -267,18 +276,6 @@ def betweenness_weighted(
                 .localCheckpoint(eager=True)
             )
             total_steps += 1
-            # δ_k is pointwise monotone non-decreasing in k, so a max-abs
-            # delta below float noise is the fixpoint (exact == would spin
-            # on nondeterministic float-sum association order forever)
-            moved = (
-                new_delta.alias("n")
-                .join(delta.alias("o"), ["source", "vertex"])
-                .agg(F.max(F.abs(F.col("n.delta") - F.col("o.delta"))).alias("m"))
-                .first()["m"]
-            )
-            delta = new_delta
-            if moved is not None and moved < 1e-12:
-                break
 
         batch_bc = (
             delta.where(F.col("vertex") != F.col("source"))
