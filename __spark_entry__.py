@@ -502,6 +502,34 @@ def orders_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("o_year")
 
 
+def events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT percentiles (not approx) per event type — Spark's
+    ``percentile`` and DuckDB's ``quantile_cont`` share the (n−1)·p
+    linear-interpolation convention, so values agree at 6dp."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.percentile("value", 0.25), 6).alias("p25"),
+            F.round(F.percentile("value", 0.5), 6).alias("p50"),
+            F.round(F.percentile("value", 0.75), 6).alias("p75"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def orders_unpivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt) of the year × status revenue matrix back to long
+    form — `DataFrame.unpivot`, the Spark-native stack operator."""
+    piv = orders_pivot_status(spark, sf_dir)
+    return (
+        piv.unpivot(["o_year"], ["rev_f", "rev_o", "rev_p"], "status", "revenue")
+        .where(F.col("revenue").isNotNull())
+        .orderBy("o_year", "status")
+    )
+
+
 def events_rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-frame window aggregates: 4-row rolling mean + lag delta per
     user, ordered by (ts, event_id) — a unique total order, so frames are
@@ -2546,6 +2574,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_token_stats": doc_token_stats,
         "doc_pmi_bigrams": doc_pmi_bigrams,
         "orders_pivot_status": orders_pivot_status,
+        "orders_unpivot_status": orders_unpivot_status,
+        "events_value_quantiles": events_value_quantiles,
         "events_rolling_stats": events_rolling_stats,
         "doc_unigram_surprisal": doc_unigram_surprisal,
         "doc_lang_id": doc_lang_id,
@@ -2758,6 +2788,29 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(CASE WHEN o_orderstatus = 'P'
                              THEN o_totalprice::DECIMAL(18,2) END)::DOUBLE, 2) AS rev_p
             FROM orders GROUP BY 1 ORDER BY o_year
+        """,
+        "orders_unpivot_status": """
+            WITH piv AS (
+                SELECT year(o_orderdate) AS o_year,
+                       round(sum(CASE WHEN o_orderstatus = 'F'
+                                 THEN o_totalprice::DECIMAL(18,2) END)::DOUBLE, 2) AS rev_f,
+                       round(sum(CASE WHEN o_orderstatus = 'O'
+                                 THEN o_totalprice::DECIMAL(18,2) END)::DOUBLE, 2) AS rev_o,
+                       round(sum(CASE WHEN o_orderstatus = 'P'
+                                 THEN o_totalprice::DECIMAL(18,2) END)::DOUBLE, 2) AS rev_p
+                FROM orders GROUP BY 1)
+            SELECT o_year, status, revenue FROM (
+                SELECT o_year, 'rev_f' AS status, rev_f AS revenue FROM piv
+                UNION ALL SELECT o_year, 'rev_o', rev_o FROM piv
+                UNION ALL SELECT o_year, 'rev_p', rev_p FROM piv)
+            WHERE revenue IS NOT NULL ORDER BY o_year, status
+        """,
+        "events_value_quantiles": """
+            SELECT event_type, count(*) AS n,
+                   round(quantile_cont(value, 0.25), 6) AS p25,
+                   round(quantile_cont(value, 0.50), 6) AS p50,
+                   round(quantile_cont(value, 0.75), 6) AS p75
+            FROM events GROUP BY event_type ORDER BY event_type
         """,
         "events_rolling_stats": """
             SELECT user_id, event_id,
