@@ -530,6 +530,42 @@ def orders_unpivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def user_value_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 temporal dimension build: each event becomes a validity
+    interval [ts, next ts) per user via lead() — the slowly-changing-
+    dimension pattern every warehouse pipeline runs; the open row is
+    flagged current."""
+    e = _t(spark, sf_dir, "events").where(F.col("user_id") < 20)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts", 1).over(w)
+    return e.select(
+        "user_id",
+        "event_id",
+        F.round("value", 6).alias("value"),
+        F.col("ts").alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    ).orderBy("user_id", "valid_from", "event_id")
+
+
+def event_type_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bipartite projection: (user × event_type) distinct-reduced, then a
+    user-keyed self-join counts users sharing each type pair — the
+    co-occurrence-graph build step of a recommender/feature pipeline.
+    Per-user fan-out is |types-per-user|² (tiny here); at web scale the
+    hub-user cap pattern from operators/dedup.py applies unchanged."""
+    e = _t(spark, sf_dir, "events").select("user_id", "event_type").distinct()
+    a = e.select("user_id", F.col("event_type").alias("a"))
+    b = e.select("user_id", F.col("event_type").alias("b"))
+    return (
+        a.join(b, "user_id")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("a", "b")
+    )
+
+
 def events_rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-frame window aggregates: 4-row rolling mean + lag delta per
     user, ordered by (ts, event_id) — a unique total order, so frames are
@@ -1969,6 +2005,47 @@ def graph_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 COLORING_ROUNDS = 3
+SP_SRC, SP_DST = 0, 777
+
+
+def graph_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical shortest-path EXTRACTION (pos, vertex) from SP_SRC to
+    SP_DST — parent(v) = min predecessor on a shortest path, so the
+    backtracked path is deterministic in any engine; the DuckDB twin
+    replays dist → min-parent map → recursive backtrack identically."""
+    from parallel_betweenness_centrality_using_bsp_spark.operators.bfs import shortest_path
+
+    e = _order_edges(spark, sf_dir)
+    return shortest_path(spark, e, SP_SRC, SP_DST, max_depth=BC_MAX_DEPTH).orderBy(
+        "pos"
+    )
+
+
+def _shortest_path_sql() -> str:
+    return f"""
+WITH RECURSIVE {_EDGES_SQL},
+walk(v, d) AS (
+    SELECT {SP_SRC}::BIGINT, 0
+    UNION
+    SELECT u.dst, w.d + 1 FROM walk w JOIN und u ON u.src = w.v
+    WHERE w.d < {BC_MAX_DEPTH}
+),
+dist AS (SELECT v AS vertex, min(d) AS dist FROM walk GROUP BY v),
+parents AS (
+    SELECT e.dst AS vertex, min(e.src) AS parent
+    FROM und e
+    JOIN dist a ON a.vertex = e.src
+    JOIN dist b ON b.vertex = e.dst
+    WHERE a.dist + 1 = b.dist
+    GROUP BY e.dst),
+back(pos, vertex) AS (
+    SELECT dist::INT, {SP_DST}::BIGINT FROM dist WHERE vertex = {SP_DST}
+    UNION ALL
+    SELECT b.pos - 1, p.parent FROM back b JOIN parents p ON p.vertex = b.vertex
+    WHERE b.pos > 0
+)
+SELECT pos, vertex FROM back ORDER BY pos
+"""
 
 
 def graph_coloring(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2577,6 +2654,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_unpivot_status": orders_unpivot_status,
         "events_value_quantiles": events_value_quantiles,
         "events_rolling_stats": events_rolling_stats,
+        "user_value_scd2": user_value_scd2,
+        "event_type_cooccurrence": event_type_cooccurrence,
         "doc_unigram_surprisal": doc_unigram_surprisal,
         "doc_lang_id": doc_lang_id,
         "doc_quality_topk": doc_quality_topk,
@@ -2613,6 +2692,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_closeness": graph_closeness,
         "graph_mis": graph_mis,
         "graph_coloring3": graph_coloring,
+        "graph_shortest_path": graph_shortest_path,
         "graph_linkpred": graph_linkpred,
         "graph_louvain2": graph_louvain2,
         "graph_bfs_dist": graph_bfs_dist,
@@ -2812,6 +2892,23 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(value, 0.75), 6) AS p75
             FROM events GROUP BY event_type ORDER BY event_type
         """,
+        "user_value_scd2": """
+            SELECT user_id, event_id, round(value, 6) AS value,
+                   ts AS valid_from,
+                   lead(ts, 1) OVER w AS valid_to,
+                   lead(ts, 1) OVER w IS NULL AS is_current
+            FROM events WHERE user_id < 20
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ORDER BY user_id, valid_from, event_id
+        """,
+        "event_type_cooccurrence": """
+            WITH ut AS (SELECT DISTINCT user_id, event_type FROM events)
+            SELECT a.event_type AS a, b.event_type AS b,
+                   count(*)::BIGINT AS n_users
+            FROM ut a JOIN ut b ON a.user_id = b.user_id
+                 AND a.event_type < b.event_type
+            GROUP BY 1, 2 ORDER BY a, b
+        """,
         "events_rolling_stats": """
             SELECT user_id, event_id,
                    round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
@@ -2961,6 +3058,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_closeness": _closeness_sql(),
         "graph_mis": _mis_sql(),
         "graph_coloring3": _coloring_sql(),
+        "graph_shortest_path": _shortest_path_sql(),
         "graph_linkpred": _linkpred_sql(),
         "graph_betweenness_weighted": _betweenness_weighted_sql(),
         "graph_louvain2": _louvain2_sql(),

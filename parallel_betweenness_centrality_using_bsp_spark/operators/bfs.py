@@ -150,3 +150,69 @@ def closeness_sampled(
     if wf_improved and n > 1:
         base = base * (F.col("reached").cast("double") / F.lit(float(n - 1)))
     return agg.select("vertex", "reached", base.alias("closeness"))
+
+
+def shortest_path(
+    spark: SparkSession,
+    edges: DataFrame,
+    src: int,
+    dst: int,
+    *,
+    directed: bool = False,
+    num_partitions: int | None = None,
+    max_depth: int | None = None,
+) -> DataFrame:
+    """(pos int, vertex long) — ONE canonical shortest path from ``src`` to
+    ``dst`` (empty if unreachable): the unique path obtained by always
+    stepping to the MINIMUM-id predecessor, so the answer is deterministic
+    in any engine (no tie luck).
+
+    Plan: one multi-source-machinery BFS (single source) for dist; ONE join
+    derives the canonical parent map — parent(v) = min{u : u→v,
+    dist(u)+1 = dist(v)} — as a hash agg; then a length-of-path backtrack
+    of 1-row broadcast lookups.  The backtrack is O(diameter) tiny jobs —
+    the same round count any BSP kernel here pays — and the parent map it
+    probes is vertex-keyed and persisted, never collected.  (For the
+    all-paths "slice" rather than one path, filter dist_s(v) + dist_t(v) =
+    dist(dst) instead — same machinery from both endpoints.)
+    """
+    dist = bfs_distances(
+        spark,
+        edges,
+        [int(src)],
+        directed=directed,
+        num_partitions=num_partitions,
+        max_depth=max_depth,
+    ).select("vertex", "dist")
+    target = dist.where(F.col("vertex") == dst).collect()
+    if not target:
+        return spark.createDataFrame([], "pos int, vertex long")
+    plen = int(target[0]["dist"])
+
+    e = (
+        edges.select("src", "dst").dropDuplicates(["src", "dst"])
+        if directed
+        else symmetrize(edges)
+    )
+    du = dist.select(F.col("vertex").alias("src"), F.col("dist").alias("du"))
+    dv = dist.select(F.col("vertex").alias("dst"), F.col("dist").alias("dv"))
+    parents = (
+        e.join(du, "src")
+        .join(dv, "dst")
+        .where(F.col("du") + 1 == F.col("dv"))
+        .groupBy(F.col("dst").alias("vertex"))
+        .agg(F.min("src").alias("parent"))
+        .persist()
+    )
+    parents.count()
+
+    path = [(plen, int(dst))]
+    cur = int(dst)
+    for pos in range(plen - 1, -1, -1):
+        cur = int(
+            parents.where(F.col("vertex") == cur).collect()[0]["parent"]
+        )
+        path.append((pos, cur))
+    parents.unpersist()
+    assert cur == int(src)
+    return spark.createDataFrame(sorted(path), "pos int, vertex long")

@@ -80,3 +80,37 @@ def test_double_sweep_diameter_exact_on_tree_and_bounded_on_er(spark):
     diam = nx.diameter(g2.subgraph(start_comp))
     assert 1 <= row2["ecc_lb"] <= diam
     assert row2["n_reached"] == len(start_comp)
+
+
+def test_shortest_path_extraction_vs_networkx(spark):
+    """The extracted path is a real path of exactly the shortest length,
+    with the canonical min-parent determinism (two runs identical)."""
+    import networkx as nx
+
+    from parallel_betweenness_centrality_using_bsp_spark.operators.bfs import shortest_path
+    from tests.oracles import er_graph
+
+    edges = er_graph(120, 0.04, seed=5)
+    g = nx.Graph()
+    g.add_edges_from(edges)
+    df = spark.createDataFrame(edges, "src long, dst long")
+    comp = max(nx.connected_components(g), key=len)
+    src = min(comp)
+    dst = max(comp)
+    rows = sorted(
+        (r["pos"], r["vertex"]) for r in shortest_path(spark, df, src, dst).collect()
+    )
+    path = [v for _, v in rows]
+    assert path[0] == src and path[-1] == dst
+    assert [p for p, _ in rows] == list(range(len(path)))
+    assert all(g.has_edge(a, b) for a, b in zip(path, path[1:]))
+    assert len(path) - 1 == nx.shortest_path_length(g, src, dst)
+    rows2 = sorted(
+        (r["pos"], r["vertex"]) for r in shortest_path(spark, df, src, dst).collect()
+    )
+    assert rows == rows2
+
+    # unreachable pair -> empty result, not an error
+    iso = max(g.nodes) + 1
+    df2 = spark.createDataFrame(edges + [(iso, iso + 1)], "src long, dst long")
+    assert shortest_path(spark, df2, src, iso).count() == 0
