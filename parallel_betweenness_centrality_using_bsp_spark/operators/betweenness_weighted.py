@@ -75,6 +75,7 @@ def betweenness_weighted(
     batch_size: int = 64,
     max_hops: int = 60,
     num_partitions: int | None = None,
+    estimate: bool = False,
 ) -> BetweennessResult:
     """Exact weighted Brandes partial sums over ``sources`` (default: all
     vertices).  ``weighted_edges`` is (src, dst, w) with STRICTLY POSITIVE
@@ -86,6 +87,9 @@ def betweenness_weighted(
     exact results — each phase also early-stops at its fixpoint).
     Undirected scores are halved, matching
     ``networkx.betweenness_centrality(weight=..., normalized=False)``.
+    ``estimate=True`` scales the sampled partial sums by n/|sources| —
+    the Brandes-Pich 2007 unbiased estimator, identical to the unweighted
+    paths' flag (betweenness.py).
     """
     t0 = time.monotonic()
     p = num_partitions or spark.sparkContext.defaultParallelism
@@ -292,6 +296,8 @@ def betweenness_weighted(
         dag.unpersist()
 
     scale = 1.0 if directed else 0.5
+    if estimate:
+        scale *= vertices.count() / max(len(sources), 1)
     bc = vertices.join(bc_acc, "vertex", "left").select(
         "vertex",
         (F.coalesce(F.col("bc"), F.lit(0.0)) * F.lit(scale)).alias("bc"),

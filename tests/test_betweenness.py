@@ -201,3 +201,45 @@ def test_weighted_betweenness_rejects_nonpositive_weights(spark):
     df = spark.createDataFrame([(0, 1, 0)], "src long, dst long, w long")
     with pytest.raises(ValueError, match="strictly positive"):
         betweenness_weighted(spark, df)
+
+
+def test_weighted_estimator_scaling(spark):
+    """estimate=True with the FULL source set equals the exact run (factor
+    n/n = 1), and with half the sources equals exactly (n/|S|) x the
+    half-sample partial sums — the Brandes-Pich factor, same contract as
+    the unweighted flag."""
+    from parallel_betweenness_centrality_using_bsp_spark.operators.betweenness_weighted import (
+        betweenness_weighted,
+    )
+    from tests.oracles import er_graph
+
+    edges = [(u, v) for u, v in er_graph(40, 0.12, seed=9)]
+    we = spark.createDataFrame(
+        [(u, v, (u + v) % 3 + 1) for u, v in edges], "src long, dst long, w long"
+    )
+    nodes = sorted({x for uv in edges for x in uv})
+    exact = {
+        r["vertex"]: r["bc"]
+        for r in betweenness_weighted(spark, we, sources=nodes).bc.collect()
+    }
+    est_full = {
+        r["vertex"]: r["bc"]
+        for r in betweenness_weighted(
+            spark, we, sources=nodes, estimate=True
+        ).bc.collect()
+    }
+    assert all(abs(est_full[v] - exact[v]) < 1e-9 for v in exact)
+
+    half = nodes[: len(nodes) // 2]
+    plain = {
+        r["vertex"]: r["bc"]
+        for r in betweenness_weighted(spark, we, sources=half).bc.collect()
+    }
+    est = {
+        r["vertex"]: r["bc"]
+        for r in betweenness_weighted(
+            spark, we, sources=half, estimate=True
+        ).bc.collect()
+    }
+    f = len(nodes) / len(half)
+    assert all(abs(est[v] - plain[v] * f) < 1e-9 for v in exact)
