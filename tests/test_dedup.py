@@ -115,9 +115,9 @@ def test_bucket_cap_is_on_by_default(spark, monkeypatch):
     calls = []
     real = dedup_mod.cap_buckets
 
-    def spy(df, key_cols, max_bucket_size, what):
+    def spy(df, key_cols, max_bucket_size, what, drop_stats=None):
         calls.append((what, max_bucket_size))
-        return real(df, key_cols, max_bucket_size, what)
+        return real(df, key_cols, max_bucket_size, what, drop_stats)
 
     monkeypatch.setattr(dedup_mod, "cap_buckets", spy)
 
