@@ -451,6 +451,56 @@ def doc_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_repetition_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021 App. A1): the 40
+    most n-gram-repetitive documents.  All counts are exact BIGINTs; the
+    three fractions are single exact-int divisions rounded to 6 dp, and the
+    sort keys (dup_trigram_frac, top_bigram_frac, doc_id) are a total
+    order, so the LIMIT cuts identically in any engine."""
+    from parallel_betweenness_centrality_using_bsp_spark.operators.features import repetition_stats
+
+    d = _t(spark, sf_dir, "documents")
+    r = repetition_stats(d).where(F.col("n_tokens") >= 1)
+    return (
+        r.select(
+            "doc_id",
+            "n_tokens",
+            F.round("distinct_ratio", 6).alias("distinct_ratio"),
+            F.round("top_bigram_frac", 6).alias("top_bigram_frac"),
+            F.round("dup_trigram_frac", 6).alias("dup_trigram_frac"),
+        )
+        .orderBy(
+            F.desc("dup_trigram_frac"), F.desc("top_bigram_frac"), F.asc("doc_id")
+        )
+        .limit(40)
+    )
+
+
+def doc_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval decontamination: char-20-gram overlap of every training
+    document against the held-out set (doc_id % 20 == 0 — the deterministic
+    eval split), the leakage check an LLM pipeline runs before training
+    (GPT-3 App. C style).  The Spark side joins on xxhash64(gram) — the
+    at-scale default (8-byte shuffle keys) — while the oracle joins raw
+    strings: identical counts unless a 64-bit collision (≈|grams|²/2⁶⁴)."""
+    from parallel_betweenness_centrality_using_bsp_spark.operators.features import ngram_overlap
+
+    d = _t(spark, sf_dir, "documents")
+    train = d.where(F.col("doc_id") % 20 != 0)
+    ev = d.where(F.col("doc_id") % 20 == 0)
+    return (
+        ngram_overlap(train, ev, n=20)
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_hits",
+            F.round("overlap_frac", 6).alias("overlap_frac"),
+        )
+        .orderBy(F.desc("n_hits"), F.asc("doc_id"))
+        .limit(50)
+    )
+
+
 def _pmi_sql() -> str:
     return r"""
 WITH toks AS (
@@ -996,6 +1046,20 @@ def graph_pagerank5_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     run = pagerank(spark, e, tol=0.0, max_supersteps=5, weight_col="w")
     return run.state.select("vertex", F.round("pr", 6).alias("pr")).orderBy("vertex")
+
+
+def graph_katz3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated Katz centrality (3 walk lengths, α=0.1) over the directed
+    order graph — the oracle unrolls the identical x_{k+1} = α·Aᵀ(1+x_k)
+    recurrence; round(6) absorbs float summation-order noise exactly as in
+    the pagerank5 family."""
+    from parallel_betweenness_centrality_using_bsp_spark.operators.pagerank import katz
+
+    e = _order_edges(spark, sf_dir)
+    run = katz(spark, e, alpha=0.1, max_supersteps=3)
+    return run.state.select("vertex", F.round("katz", 6).alias("katz")).orderBy(
+        "vertex"
+    )
 
 
 def _pagerank5_weighted_sql() -> str:
@@ -2363,6 +2427,33 @@ def _pagerank5_sql(tele_expr: str | None = None) -> str:
     return "".join(parts)
 
 
+def _katz3_sql() -> str:
+    """3 unrolled Katz iterations matching operators/pagerank.py::katz:
+    ``x_{k+1} = α · Aᵀ(1 + x_k)``, x0 = 0, α = 0.1 — no out-degree
+    normalization, no teleport, mass fans out along every out-edge."""
+    a = 0.1
+    parts = [
+        f"WITH {_EDGES_SQL},",
+        """
+  dverts AS (SELECT DISTINCT src AS vertex FROM edges
+             UNION SELECT DISTINCT dst FROM edges),
+  x0 AS (SELECT vertex, 0.0 AS x FROM dverts)
+""",
+    ]
+    for k in range(1, 4):
+        p = f"x{k - 1}"
+        parts.append(
+            f""",
+  c{k} AS (SELECT e.dst AS vertex, sum({a} * (1.0 + p.x)) AS c
+           FROM {p} p JOIN edges e ON e.src = p.vertex GROUP BY e.dst),
+  x{k} AS (SELECT v.vertex, coalesce(c.c, 0.0) AS x
+           FROM dverts v LEFT JOIN c{k} c ON c.vertex = v.vertex)
+"""
+        )
+    parts.append("SELECT vertex, round(x, 6) AS katz FROM x3 ORDER BY vertex")
+    return "".join(parts)
+
+
 PPR_SEED_CAP = 10  # personalized-PageRank seed set: vertices with id < cap
 
 _PPR_TELE_SQL = (
@@ -2650,6 +2741,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # text + dedup
         "doc_token_stats": doc_token_stats,
         "doc_pmi_bigrams": doc_pmi_bigrams,
+        "doc_repetition_topk": doc_repetition_topk,
+        "doc_decontamination": doc_decontamination,
         "orders_pivot_status": orders_pivot_status,
         "orders_unpivot_status": orders_unpivot_status,
         "events_value_quantiles": events_value_quantiles,
@@ -2681,6 +2774,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_components_star": graph_components_star,
         "graph_pagerank5": graph_pagerank5,
         "graph_pagerank5_weighted": graph_pagerank5_weighted,
+        "graph_katz3": graph_katz3,
         "graph_ppr5": graph_ppr5,
         "graph_labelprop3": graph_labelprop3,
         "graph_labelprop3_weighted": graph_labelprop3_weighted,
@@ -2859,6 +2953,55 @@ def oracle_sql() -> dict[str, str]:
             FROM documents WHERE doc_id < 200 ORDER BY doc_id
         """,
         "doc_pmi_bigrams": _pmi_sql(),
+        "doc_repetition_topk": r"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(trim(text)), '\S+') AS t FROM documents),
+base AS (
+  SELECT doc_id, len(t)::BIGINT AS n_tokens, len(list_distinct(t))::BIGINT AS n_distinct
+  FROM toks WHERE len(t) >= 1),
+bg AS (
+  SELECT doc_id, unnest(list_transform(generate_series(1, len(t)-1),
+         i -> t[i] || ' ' || t[i+1])) AS g
+  FROM toks WHERE len(t) >= 2),
+topbg AS (
+  SELECT doc_id, max(c) AS top_c FROM (
+    SELECT doc_id, g, count(*) AS c FROM bg GROUP BY doc_id, g) GROUP BY doc_id),
+tg AS (
+  SELECT doc_id, unnest(list_transform(generate_series(1, len(t)-2),
+         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
+  FROM toks WHERE len(t) >= 3),
+duptg AS (
+  SELECT doc_id, sum(c)::BIGINT AS dup_c FROM (
+    SELECT doc_id, g, count(*) AS c FROM tg GROUP BY doc_id, g)
+  WHERE c >= 2 GROUP BY doc_id)
+SELECT b.doc_id, b.n_tokens,
+  round(n_distinct / n_tokens::DOUBLE, 6) AS distinct_ratio,
+  round(least(1.0, coalesce(top_c, 0) * 2 / n_tokens::DOUBLE), 6) AS top_bigram_frac,
+  round(least(1.0, coalesce(dup_c, 0) * 3 / n_tokens::DOUBLE), 6) AS dup_trigram_frac
+FROM base b LEFT JOIN topbg USING (doc_id) LEFT JOIN duptg USING (doc_id)
+ORDER BY dup_trigram_frac DESC, top_bigram_frac DESC, doc_id LIMIT 40
+""",
+        "doc_decontamination": r"""
+WITH norm AS (SELECT doc_id, lower(trim(text)) AS s FROM documents),
+tr AS (
+  SELECT DISTINCT doc_id, g FROM (
+    SELECT doc_id, unnest(list_transform(generate_series(1, length(s)-19),
+           i -> substr(s, i::INT, 20))) AS g
+    FROM norm WHERE doc_id % 20 != 0 AND length(s) >= 20)),
+ev AS (
+  SELECT DISTINCT g FROM (
+    SELECT unnest(list_transform(generate_series(1, length(s)-19),
+           i -> substr(s, i::INT, 20))) AS g
+    FROM norm WHERE doc_id % 20 = 0 AND length(s) >= 20)),
+per AS (SELECT doc_id, count(*)::BIGINT AS n_grams FROM tr GROUP BY doc_id),
+hits AS (
+  SELECT doc_id, count(*)::BIGINT AS n_hits FROM tr
+  WHERE g IN (SELECT g FROM ev) GROUP BY doc_id)
+SELECT p.doc_id, p.n_grams, coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+  round(coalesce(h.n_hits, 0) / p.n_grams::DOUBLE, 6) AS overlap_frac
+FROM per p LEFT JOIN hits h USING (doc_id)
+ORDER BY n_hits DESC, doc_id LIMIT 50
+""",
         "orders_pivot_status": """
             SELECT year(o_orderdate) AS o_year,
                    round(sum(CASE WHEN o_orderstatus = 'F'
@@ -3048,6 +3191,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "graph_pagerank5": _pagerank5_sql(),
         "graph_pagerank5_weighted": _pagerank5_weighted_sql(),
+        "graph_katz3": _katz3_sql(),
         "graph_ppr5": _pagerank5_sql(_PPR_TELE_SQL),
         "graph_labelprop3": _labelprop3_sql(),
         "graph_labelprop3_weighted": _labelprop3_weighted_sql(),

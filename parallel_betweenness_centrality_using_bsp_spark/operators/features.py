@@ -337,3 +337,151 @@ def bigram_pmi(
             pmi.alias("pmi"),
         )
     )
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, n_tokens, distinct_ratio, top_bigram_frac, dup_trigram_frac):
+    per-document repetition signals in the style of the Gopher quality
+    filters (Rae et al. 2021, Appendix A1) — a training-data pipeline drops
+    documents dominated by repeated n-grams before they poison a tokenizer
+    or an LM.  Token-level (the synthetic docs are single-line):
+
+      * ``distinct_ratio``    = |distinct tokens| / n_tokens
+      * ``top_bigram_frac``   = 2 · (count of the most frequent bigram)
+                                / n_tokens, clamped to 1.0
+      * ``dup_trigram_frac``  = 3 · Σ counts of trigrams occurring ≥ 2×
+                                / n_tokens, clamped to 1.0
+
+    Plan shape: ONE tokenize expression; per-doc distinct via
+    ``array_distinct`` (no explode); the two n-gram branches build grams
+    in-plan with ``transform(sequence(...))`` (JVM, no UDF) and aggregate
+    doc-keyed — balanced by construction, every shuffle key is a doc id, so
+    a hot *term* can never skew a partition.  All counts exact BIGINTs;
+    the three fractions are the only floats.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.regexp_extract_all(
+            F.lower(F.trim(F.col(text_col))), F.lit(r"\S+"), 0
+        ).alias("t"),
+    )
+    base = toks.select(
+        "doc_id",
+        F.size("t").alias("n_tokens"),
+        F.size(F.array_distinct("t")).alias("n_distinct"),
+    )
+    top_bg = (
+        toks.where(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(t)-2),"
+                    " i -> concat(t[i], ' ', t[i+1]))"
+                )
+            ).alias("bg"),
+        )
+        .groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_bg_c"))
+    )
+    dup_tg = (
+        toks.where(F.size("t") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(t)-3),"
+                    " i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))"
+                )
+            ).alias("tg"),
+        )
+        .groupBy("doc_id", "tg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= 2)
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("dup_tg_c"))
+    )
+    nt = F.col("n_tokens").cast("double")
+    return (
+        base.join(top_bg, "doc_id", "left")
+        .join(dup_tg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("n_distinct") / nt).alias("distinct_ratio"),
+            F.least(
+                F.lit(1.0),
+                F.coalesce(F.col("top_bg_c"), F.lit(0)) * 2 / nt,
+            ).alias("top_bigram_frac"),
+            F.least(
+                F.lit(1.0),
+                F.coalesce(F.col("dup_tg_c"), F.lit(0)) * 3 / nt,
+            ).alias("dup_trigram_frac"),
+        )
+    )
+
+
+def ngram_overlap(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_grams: bool = True,
+) -> DataFrame:
+    """(doc_id, n_grams, n_hits, overlap_frac): per-TRAIN-document overlap
+    of character ``n``-grams against the union of the EVAL set's grams —
+    the decontamination check every LLM training pipeline runs so benchmark
+    text doesn't leak into the training corpus (e.g. GPT-3 App. C /
+    PaLM-style 13-gram overlap, here over normalized char grams).
+
+    Plan shape: both sides build grams in-plan (``transform(sequence(...))``
+    + explode — JVM, no UDF), dedup per doc (train) / globally (eval), then
+    ONE join keyed on the gram.  ``hash_grams=True`` (the at-scale default)
+    joins on ``xxhash64(gram)`` instead of the raw string: at 100 TB the
+    shuffle moves 8-byte keys instead of ~n-byte strings; collisions are
+    ~|grams|²/2⁶⁴ — negligible, and a false hit only ever makes the check
+    MORE conservative (flags, never clears).  The eval side of the join is
+    small by definition (benchmarks, not corpora) — broadcast it.
+    """
+    s = F.lower(F.trim(F.col(text_col)))
+    gram = F.explode(
+        F.expr(
+            f"transform(sequence(1, greatest(length(_s) - {n - 1}, 0)),"
+            f" i -> substring(_s, i, {n}))"
+        )
+    ).alias("g")
+    key = (lambda c: F.xxhash64(c)) if hash_grams else (lambda c: c)
+
+    train_g = (
+        train.select(F.col(id_col).alias("doc_id"), s.alias("_s"))
+        .where(F.length("_s") >= n)
+        .select("doc_id", gram)
+        .select("doc_id", key(F.col("g")).alias("k"))
+        .distinct()
+    )
+    eval_g = (
+        eval_docs.select(s.alias("_s"))
+        .where(F.length("_s") >= n)
+        .select(gram)
+        .select(key(F.col("g")).alias("k"))
+        .distinct()
+    )
+    per_doc = train_g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    hits = (
+        train_g.join(F.broadcast(eval_g), "k", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return per_doc.join(hits, "doc_id", "left").select(
+        "doc_id",
+        "n_grams",
+        F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+        (
+            F.coalesce("n_hits", F.lit(0)) / F.col("n_grams").cast("double")
+        ).alias("overlap_frac"),
+    )

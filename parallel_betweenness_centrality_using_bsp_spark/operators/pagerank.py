@@ -185,3 +185,79 @@ def pagerank(
     dangling.unpersist()
     tele.unpersist()
     return run
+
+
+def katz(
+    spark: SparkSession,
+    edges: DataFrame,
+    *,
+    alpha: float = 0.1,
+    max_supersteps: int = 3,
+    checkpoint_dir: str | None = None,
+    run_id: str | None = None,
+    num_partitions: int | None = None,
+    resume_state: DataFrame | None = None,
+    start_step: int = 0,
+    count_rows: bool = True,
+    bucket_state: bool = False,
+) -> SuperstepRun:
+    """Katz centrality, truncated at ``max_supersteps`` walk lengths:
+
+    ``katz(v) = Σ_{l=1..k} αˡ · (# directed walks of length l ending at v)``
+
+    via the recurrence ``x_{k+1} = α · Aᵀ(1 + x_k)``, ``x_0 = 0`` (Katz
+    1953).  Unlike PageRank there is no out-degree normalization and no
+    teleport — mass fans out along EVERY out-edge — so α must sit below
+    1/λ_max for the untruncated series to converge; the fixed-k truncation
+    here is exact for any α and is what an oracle can unroll.
+
+    Plan shape is the pagerank kernel's: the edge table is shuffled to
+    hash(src) ONCE and persisted, each superstep moves only the n-vertex
+    state through one join + one doc-balanced hash agg (map-side combined),
+    and ``bucket_state=True`` lands state bucketed on ``vertex`` so the
+    steady-state exchange disappears.  Returns state (vertex, katz).
+    """
+    p = num_partitions or spark.sparkContext.defaultParallelism
+    e = edges.select("src", "dst").dropDuplicates(["src", "dst"])
+    vertices = (
+        e.select(F.col("src").alias("vertex"))
+        .unionByName(e.select(F.col("dst").alias("vertex")))
+        .distinct()
+        .repartition(p, "vertex")
+        .persist()
+    )
+    edges_p = e.repartition(p, "src").persist()
+    edges_p.count()
+
+    initial = vertices.select("vertex", F.lit(0.0).alias("katz"))
+
+    def step(state: DataFrame, _k: int) -> DataFrame:
+        contribs = (
+            state.join(edges_p, state.vertex == edges_p.src)
+            .select(
+                edges_p.dst.alias("vertex"),
+                (F.lit(alpha) * (F.lit(1.0) + F.col("katz"))).alias("c"),
+            )
+            .groupBy("vertex")
+            .agg(F.sum("c").alias("c"))
+        )
+        return vertices.join(contribs, "vertex", "left").select(
+            "vertex", F.coalesce("c", F.lit(0.0)).alias("katz")
+        )
+
+    run = superstep_loop(
+        spark,
+        resume_state if resume_state is not None else initial,
+        step,
+        algo="katz",
+        max_supersteps=max_supersteps,
+        converged_fn=None,
+        checkpoint_dir=checkpoint_dir,
+        run_id=run_id,
+        start_step=start_step,
+        count_rows=count_rows,
+        bucket_state_by=["vertex"] if bucket_state else None,
+    )
+    edges_p.unpersist()
+    vertices.unpersist()
+    return run

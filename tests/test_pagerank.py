@@ -80,3 +80,25 @@ def test_weighted_pagerank_matches_oracle(spark):
     for v in nodes:
         assert np.isclose(got[v], pr[v], atol=1e-8)
     assert abs(sum(got.values()) - 1.0) < 1e-9  # mass conserved
+
+
+def test_katz_truncated_matches_numpy(spark):
+    """x_{k+1} = alpha * A^T (1 + x_k), x_0 = 0 — exact truncated Katz."""
+    import numpy as np
+
+    from parallel_betweenness_centrality_using_bsp_spark.operators.pagerank import katz
+
+    edges = er_graph(n=60, p=0.08, seed=11)
+    nodes = sorted({x for uv in edges for x in uv})
+    idx = {v: i for i, v in enumerate(nodes)}
+    A = np.zeros((len(nodes), len(nodes)))
+    for u, v in set(edges):
+        A[idx[u], idx[v]] = 1.0
+    alpha, k = 0.05, 4
+    x = np.zeros(len(nodes))
+    for _ in range(k):
+        x = alpha * A.T @ (1.0 + x)
+    run = katz(spark, edge_df(spark, edges), alpha=alpha, max_supersteps=k)
+    got = df_to_dict(run.state, "vertex", "katz")
+    assert len(got) == len(nodes)
+    assert all(abs(got[v] - x[idx[v]]) < 1e-9 for v in nodes)

@@ -135,3 +135,49 @@ def test_bigram_pmi_matches_hand_count(spark):
         want = math.log((c / n_bg) / ((uni[x] / n_u) * (uni[y] / n_u)))
         assert got[(x, y)][0] == c
         assert abs(got[(x, y)][1] - want) < 1e-12
+
+
+def test_repetition_stats_hand_counts(spark):
+    """'a b a b a': bigrams {a b:2, b a:2} -> top_bigram_frac = 2*2/5;
+    trigrams {a b a:2, b a b:1} -> dup_trigram_frac = 3*2/5; distinct 2/5.
+    A no-repeat doc scores 0 on both dup signals; clamps hold at 1.0."""
+    from parallel_betweenness_centrality_using_bsp_spark.operators.features import repetition_stats
+
+    df = spark.createDataFrame(
+        [(0, "a b a b a"), (1, "u v w x"), (2, "z z z z z z")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    r0 = got[0]
+    assert r0["n_tokens"] == 5
+    assert abs(r0["distinct_ratio"] - 2 / 5) < 1e-12
+    assert abs(r0["top_bigram_frac"] - 4 / 5) < 1e-12
+    assert abs(r0["dup_trigram_frac"] - min(1.0, 6 / 5)) < 1e-12
+    r1 = got[1]  # no repeats: top bigram still covers 2 of 4 tokens
+    assert abs(r1["top_bigram_frac"] - 0.5) < 1e-12
+    assert r1["dup_trigram_frac"] == 0.0
+    assert r1["distinct_ratio"] == 1.0
+    r2 = got[2]  # all-same: everything clamps to 1.0
+    assert r2["top_bigram_frac"] == 1.0 and r2["dup_trigram_frac"] == 1.0
+
+
+def test_ngram_overlap_flags_leaked_eval_text(spark):
+    """A train doc containing a verbatim eval sentence gets n_hits > 0;
+    an unrelated doc gets 0; overlap_frac = n_hits/n_grams exactly."""
+    from parallel_betweenness_centrality_using_bsp_spark.operators.features import ngram_overlap
+
+    leak = "the quick brown fox jumps over the lazy dog tonight"
+    train = spark.createDataFrame(
+        [(0, "prefix words here " + leak + " suffix words"),
+         (1, "completely unrelated training text with no overlap at all")],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame([(100, leak)], "doc_id long, text string")
+    got = {r["doc_id"]: r for r in ngram_overlap(train, ev, n=20).collect()}
+    assert got[0]["n_hits"] == len(leak) - 19  # every eval gram appears in doc 0
+    assert got[1]["n_hits"] == 0 and got[1]["overlap_frac"] == 0.0
+    assert abs(got[0]["overlap_frac"] - got[0]["n_hits"] / got[0]["n_grams"]) < 1e-12
+    # hash and raw-string paths agree
+    raw = {r["doc_id"]: r["n_hits"]
+           for r in ngram_overlap(train, ev, n=20, hash_grams=False).collect()}
+    assert raw == {d: r["n_hits"] for d, r in got.items()}
