@@ -1264,6 +1264,26 @@ def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("walk_id", "pos")
 
 
+def graph_node2vec3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """node2vec biased walks (p=4, q=2): 3 second-order steps from every
+    vertex < 30.  The bias weights are the exact integers {q, p·q, p}
+    (α·p·q) and the pick is cumulative-weight crossing of
+    md5int(walk ':' step) mod Σw over dst-ordered candidates — all integer
+    arithmetic, so the DuckDB twin replays the identical walks."""
+    from parallel_betweenness_centrality_using_bsp_spark.operators.walks import node2vec_walks
+
+    e = _order_edges(spark, sf_dir)
+    verts = (
+        e.select(F.col("src").alias("vertex"))
+        .unionByName(e.select(F.col("dst").alias("vertex")))
+        .distinct()
+    )
+    starts = verts.where(F.col("vertex") < WALK_START_CAP)
+    return node2vec_walks(spark, e, starts, walk_length=3, p=4, q=2).orderBy(
+        "walk_id", "pos"
+    )
+
+
 def _random_walks_sql() -> str:
     md5i = (
         "(('0x' || substr(md5(s.walk_id::VARCHAR || ':' || '{k}'), 1, 15))::BIGINT"
@@ -1291,6 +1311,44 @@ def _random_walks_sql() -> str:
     union = " UNION ALL ".join(
         f"SELECT walk_id, {k} AS pos, v AS vertex FROM w{k}"
         for k in range(WALK_LEN + 1)
+    )
+    parts.append(f"SELECT * FROM ({union}) ORDER BY walk_id, pos")
+    return "".join(parts)
+
+
+def _node2vec3_sql(p: int = 4, q: int = 2) -> str:
+    """3 unrolled node2vec steps matching operators/walks.py::node2vec_walks:
+    integer weights {q, p·q, p}, cumulative pick over dst-ordered
+    candidates at md5int(walk ':' k) mod Σw; step 1's prev is the −1
+    sentinel (uniform, weight p everywhere)."""
+    parts = [
+        f"WITH {_EDGES_SQL},",
+        f"""
+  n2v0 AS (SELECT vertex AS walk_id, (-1)::BIGINT AS pv, vertex AS v
+           FROM vertices WHERE vertex < {WALK_START_CAP})
+""",
+    ]
+    for k in range(1, 4):
+        md5i = f"(('0x' || substr(md5(walk_id::VARCHAR || ':' || '{k}'), 1, 15))::BIGINT"
+        parts.append(
+            f""",
+  cand{k} AS (SELECT s.walk_id, s.v, a.dst AS cand,
+              CASE WHEN a.dst = s.pv THEN {q}
+                   WHEN pe.src IS NOT NULL THEN {p * q}
+                   ELSE {p} END AS w
+              FROM n2v{k - 1} s JOIN und a ON a.src = s.v
+              LEFT JOIN und pe ON pe.src = s.pv AND pe.dst = a.dst),
+  pick{k} AS (SELECT *,
+              sum(w) OVER (PARTITION BY walk_id ORDER BY cand
+                           ROWS UNBOUNDED PRECEDING) AS cw,
+              {md5i} % sum(w) OVER (PARTITION BY walk_id)) AS r
+              FROM cand{k}),
+  n2v{k} AS (SELECT walk_id, v AS pv, cand AS v FROM pick{k}
+             WHERE cw > r AND cw - w <= r)
+"""
+        )
+    union = " UNION ALL ".join(
+        f"SELECT walk_id, {k} AS pos, v AS vertex FROM n2v{k}" for k in range(4)
     )
     parts.append(f"SELECT * FROM ({union}) ORDER BY walk_id, pos")
     return "".join(parts)
@@ -2804,6 +2862,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_neighbor_features": graph_neighbor_features,
         "graph_neighbor_features_2hop": graph_neighbor_features_2hop,
         "graph_random_walks": graph_random_walks,
+        "graph_node2vec3": graph_node2vec3,
         "dedup_kept_count": dedup_kept_count,
         # multimodal
         "multimodal_pipeline": multimodal_pipeline,
@@ -3275,6 +3334,7 @@ ORDER BY n_hits DESC, doc_id LIMIT 50
             FROM h2 ORDER BY vertex, pos
         """,
         "graph_random_walks": _random_walks_sql(),
+        "graph_node2vec3": _node2vec3_sql(),
         "graph_hits3": _hits3_sql(),
         "graph_adamic_adar": _adamic_adar_sql(),
         "graph_clustering": _clustering_sql(),

@@ -225,3 +225,153 @@ def random_walks(
         run_id=run_id,
     )
     return corpus
+
+
+def node2vec_walks_run(
+    spark: SparkSession,
+    edges: DataFrame,
+    starts: DataFrame,
+    *,
+    walk_length: int = 4,
+    p: int = 1,
+    q: int = 1,
+    directed: bool = False,
+    num_partitions: int | None = None,
+    checkpoint_dir: str | None = None,
+    run_id: str | None = None,
+    resume_state: DataFrame | None = None,
+    start_step: int = 0,
+) -> tuple[SuperstepRun, DataFrame]:
+    """Second-order biased walks (node2vec, Grover & Leskovec 2016) with
+    INTEGER return/in-out parameters ``p``/``q`` ≥ 1 — the walk corpus a
+    pipeline feeds to skip-gram embedding training when it wants BFS-ish
+    (q > 1) or DFS-ish (p > 1) neighborhoods instead of DeepWalk's uniform.
+
+    node2vec's unnormalized weights α = 1/p (back to prev), 1 (common
+    neighbor of prev), 1/q (farther) are scaled by p·q to the EXACT
+    integers {q, p·q, p}, so the deterministic pick — cumulative weight
+    crossing ``md5int(walk_id ':' k) mod Σw`` over candidates ordered by
+    dst — is pure integer arithmetic: reproducible under retries, across
+    engines, and by a SQL twin.  Step 1 has no prev (sentinel −1): every
+    candidate weighs p — uniform, as in the paper.
+
+    Plan shape per step: frontier ⋈ adjacency (fan out candidates, Σdeg
+    rows) + one LEFT edge-membership join against the same persisted
+    adjacency keyed on (prev, cand) for the d=1 test + one per-walk window
+    (cumsum + total in a single pass; width = deg(cur) — the node2vec cost,
+    inherent to second-order bias).  State carries (walk_id, pos, prev,
+    vertex); the corpus is the union of materialized frontiers, exactly as
+    ``random_walks_run``.
+    """
+    if p < 1 or q < 1 or int(p) != p or int(q) != q:
+        raise ValueError("p and q must be integers >= 1 (weights p*q/alpha stay integral)")
+    np_ = num_partitions or spark.sparkContext.defaultParallelism
+    adj, _deg = indexed_adjacency(edges, directed)
+    adj = adj.select("src", "dst").repartition(np_, "src").persist()
+    adj.count()
+
+    initial = starts.select(
+        F.col("vertex").alias("walk_id"),
+        F.lit(0).alias("pos"),
+        F.lit(-1).cast("long").alias("prev"),
+        F.col("vertex").alias("vertex"),
+    )
+    seen: list[DataFrame] = []
+
+    def step(frontier: DataFrame, k: int) -> DataFrame:
+        seen.append(frontier)
+        a = adj.alias(f"_n{k}")
+        pe = adj.alias(f"_p{k}")  # prev-edge membership probe
+        fr = frontier.select(
+            "walk_id", F.col("prev").alias("pv"), F.col("vertex").alias("v")
+        )
+        cand = (
+            fr.join(a, fr.v == F.col(f"_n{k}.src"))
+            .select("walk_id", "pv", "v", F.col(f"_n{k}.dst").alias("cand"))
+            .join(
+                pe,
+                (F.col("pv") == F.col(f"_p{k}.src"))
+                & (F.col("cand") == F.col(f"_p{k}.dst")),
+                "left",
+            )
+            .select(
+                "walk_id",
+                "pv",
+                "v",
+                "cand",
+                F.when(F.col("cand") == F.col("pv"), F.lit(int(q)))
+                .when(F.col(f"_p{k}.src").isNotNull(), F.lit(int(p * q)))
+                .otherwise(F.lit(int(p)))
+                .alias("w"),
+            )
+        )
+        cum = Window.partitionBy("walk_id").orderBy("cand").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        tot = Window.partitionBy("walk_id")
+        r = md5_token_value(
+            F.concat_ws(":", F.col("walk_id").cast("string"), F.lit(str(k)))
+        )
+        scored = cand.select(
+            "walk_id",
+            "v",
+            "cand",
+            "w",
+            F.sum("w").over(cum).alias("cw"),
+            (r % F.sum("w").over(tot)).alias("r"),
+        )
+        return scored.where(
+            (F.col("cw") > F.col("r")) & (F.col("cw") - F.col("w") <= F.col("r"))
+        ).select(
+            "walk_id",
+            F.lit(k).alias("pos"),
+            F.col("v").alias("prev"),
+            F.col("cand").alias("vertex"),
+        )
+
+    run = superstep_loop(
+        spark,
+        resume_state if resume_state is not None else initial,
+        step,
+        algo="node2vec",
+        max_supersteps=max(0, walk_length - start_step),
+        converged_fn=None,
+        checkpoint_dir=checkpoint_dir,
+        run_id=run_id,
+        start_step=start_step,
+        count_rows=False,
+    )
+    corpus = run.state.select("walk_id", "pos", "vertex")
+    for fr in seen:
+        corpus = corpus.unionByName(fr.select("walk_id", "pos", "vertex"))
+    adj.unpersist()
+    return run, corpus
+
+
+def node2vec_walks(
+    spark: SparkSession,
+    edges: DataFrame,
+    starts: DataFrame,
+    *,
+    walk_length: int = 4,
+    p: int = 1,
+    q: int = 1,
+    directed: bool = False,
+    num_partitions: int | None = None,
+    checkpoint_dir: str | None = None,
+    run_id: str | None = None,
+) -> DataFrame:
+    """(walk_id, pos, vertex) node2vec corpus; see node2vec_walks_run."""
+    _, corpus = node2vec_walks_run(
+        spark,
+        edges,
+        starts,
+        walk_length=walk_length,
+        p=p,
+        q=q,
+        directed=directed,
+        num_partitions=num_partitions,
+        checkpoint_dir=checkpoint_dir,
+        run_id=run_id,
+    )
+    return corpus

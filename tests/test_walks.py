@@ -87,3 +87,83 @@ def test_indexed_adjacency_salted_matches_unsalted(spark):
         for r in b.groupBy("src", "_b").agg(F.count(F.lit(1)).alias("n")).collect()
     ]
     assert max(sizes) <= 20  # 119-degree hub split into ≥8 window groups
+
+
+def _md5int(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def test_node2vec_matches_python_replay(spark):
+    """Exact corpus vs a pure-python second-order replay: same md5 stream,
+    integer weights {q, p*q, p}, cumulative pick over dst-ordered
+    candidates."""
+    from parallel_betweenness_centrality_using_bsp_spark.operators.walks import node2vec_walks
+    from tests.oracles import er_graph
+
+    edges = er_graph(50, 0.10, seed=21)
+    p_ret, q_io = 4, 2
+    nbrs = {}
+    eset = set()
+    for u, v in edges:
+        if u == v:
+            continue
+        nbrs.setdefault(u, set()).add(v)
+        nbrs.setdefault(v, set()).add(u)
+        eset.add((u, v))
+        eset.add((v, u))
+    starts = sorted(nbrs)[:12]
+
+    expect = set()
+    for s in starts:
+        prev, cur = -1, s
+        expect.add((s, 0, s))
+        for k in range(1, 4):
+            cands = sorted(nbrs.get(cur, ()))
+            if not cands:
+                break
+            ws = [
+                q_io if c == prev else (p_ret * q_io if (prev, c) in eset else p_ret)
+                for c in cands
+            ]
+            r = _md5int(f"{s}:{k}") % sum(ws)
+            acc = 0
+            for c, w in zip(cands, ws):
+                acc += w
+                if acc > r:
+                    prev, cur = cur, c
+                    break
+            expect.add((s, k, cur))
+
+    df = spark.createDataFrame([(u, v) for u, v in edges], "src long, dst long")
+    st = spark.createDataFrame([(s,) for s in starts], "vertex long")
+    got = {
+        (r["walk_id"], r["pos"], r["vertex"])
+        for r in node2vec_walks(spark, df, st, walk_length=3, p=p_ret, q=q_io).collect()
+    }
+    assert got == expect
+
+
+def test_node2vec_p1q1_equals_deepwalk(spark):
+    """p=q=1 collapses the bias to uniform: unit weights make the
+    cumulative pick EXACTLY the md5 %% deg index of random_walks — the two
+    corpora must be bit-identical."""
+    from parallel_betweenness_centrality_using_bsp_spark.operators.walks import (
+        node2vec_walks,
+        random_walks,
+    )
+    from tests.oracles import er_graph
+
+    edges = er_graph(40, 0.12, seed=5)
+    df = spark.createDataFrame([(u, v) for u, v in edges], "src long, dst long")
+    st = spark.createDataFrame([(s,) for s in range(10)], "vertex long")
+    a = {
+        (r["walk_id"], r["pos"], r["vertex"])
+        for r in node2vec_walks(spark, df, st, walk_length=4, p=1, q=1).collect()
+    }
+    b = {
+        (r["walk_id"], r["pos"], r["vertex"])
+        for r in random_walks(spark, df, st, walk_length=4).collect()
+    }
+    assert a == b
