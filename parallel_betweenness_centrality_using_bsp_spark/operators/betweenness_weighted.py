@@ -238,37 +238,50 @@ def betweenness_weighted(
             sigma_rounds += 1
 
         # ---- phase 3: delta fixpoint, backward over the DAG -------------
-        # Round count is KNOWN, not detected: sigma ran until stationary,
-        # so ``sigma_rounds`` >= DAG depth + 1, and delta propagated
-        # leaf-up is stationary after exactly DAG-depth rounds.  Running
-        # that many rounds blind drops the per-round convergence join +
-        # driver sync the earlier code paid (one full state join and one
-        # .first() per superstep -- pure overhead once the depth is
-        # already measured by sigma's own fixpoint).
+        # Round count is KNOWN, not detected: sigma's loop executes one
+        # final no-change round before its emptiness break, so
+        # ``sigma_rounds - 1`` IS the DAG depth, and delta propagated
+        # leaf-up is stationary after exactly that many rounds.  Running
+        # them blind drops the per-round convergence join + driver sync
+        # the earlier code paid.
+        #
+        # The σ-ratio on each DAG edge never changes across delta rounds —
+        # join sigma into the DAG ONCE (σ(u)/σ(w) per edge, persisted) so
+        # the per-round plan is one join + one hash agg + the state merge,
+        # instead of re-joining sigma at both endpoints every round.
         sv = sigma.select("source", "vertex", "sigma")
+        su = sv.select(
+            "source", F.col("vertex").alias("src"), F.col("sigma").alias("sigma_u")
+        )
+        sw = sv.select(
+            "source", F.col("vertex").alias("dst"), F.col("sigma").alias("sigma_w")
+        )
+        dag_r = (
+            dag.join(su, ["source", "src"])
+            .join(sw, ["source", "dst"])
+            .select(
+                "source",
+                "src",
+                "dst",
+                (F.col("sigma_u") / F.col("sigma_w")).alias("ratio"),
+            )
+            .repartition(p, "source", "dst")
+            .persist()
+        )
         delta = sv.select(
             "source", "vertex", F.lit(0.0).alias("delta")
         ).localCheckpoint(eager=True)
-        for _ in range(min(sigma_rounds, max_hops)):
+        for _ in range(min(max(sigma_rounds - 1, 0), max_hops)):
             # δ(v) = Σ_{w succ} σ(v)/σ(w) · (1 + δ(w)) — recomputed in full
-            # each round; stationary once rounds exceed the DAG depth
+            # each round; stationary once rounds reach the DAG depth
             dw = delta.select(
                 "source", F.col("vertex").alias("dst"), F.col("delta").alias("delta_w")
             )
-            sw = sv.select(
-                "source", F.col("vertex").alias("dst"), F.col("sigma").alias("sigma_w")
-            )
             contrib = (
-                dag.join(dw, ["source", "dst"])
-                .join(sw, ["source", "dst"])
-                .select("source", F.col("src").alias("vertex"), "sigma_w", "delta_w")
-                .join(sv, ["source", "vertex"])
-                .groupBy("source", "vertex")
+                dag_r.join(dw, ["source", "dst"])
+                .groupBy("source", F.col("src").alias("vertex"))
                 .agg(
-                    F.sum(
-                        (F.col("sigma") / F.col("sigma_w"))
-                        * (F.lit(1.0) + F.col("delta_w"))
-                    ).alias("d")
+                    F.sum(F.col("ratio") * (F.lit(1.0) + F.col("delta_w"))).alias("d")
                 )
             )
             delta = (
@@ -280,6 +293,7 @@ def betweenness_weighted(
                 .localCheckpoint(eager=True)
             )
             total_steps += 1
+        dag_r.unpersist()
 
         batch_bc = (
             delta.where(F.col("vertex") != F.col("source"))
