@@ -1856,11 +1856,41 @@ def graph_louvain2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return louvain_one_level(spark, e, rounds=LOUVAIN_ROUNDS).orderBy("vertex")
 
 
-def _louvain2_sql() -> str:
+def graph_louvain2_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED one-level Louvain (w=(src+dst)%7+1, the weighted-LPA edge
+    family): k_v, k_{v,C}, Σtot and 2m are summed integral weights, the
+    gain score stays exact BIGINT, labels bit-match the weighted twin."""
+    from parallel_betweenness_centrality_using_bsp_spark.operators.labelprop import louvain_one_level
+
+    e = _order_edges(spark, sf_dir).select(
+        "src", "dst", ((F.col("src") + F.col("dst")) % 7 + 1).alias("w")
+    )
+    return louvain_one_level(
+        spark, e, rounds=LOUVAIN_ROUNDS, weight_col="w"
+    ).orderBy("vertex")
+
+
+def _louvain2_sql(weighted: bool = False) -> str:
+    """Unrolled one-level Louvain twin; ``weighted=True`` swaps every count
+    for the summed integral weight w=(src+dst)%7+1 (the weighted-LPA edge
+    family) — k_v, k_{v,C}, Σtot and 2m all weighted, score still exact
+    BIGINT arithmetic."""
+    if weighted:
+        und_cte = """
+  undl AS (SELECT src, dst, sum(w)::BIGINT AS w FROM (
+      SELECT src AS src, dst AS dst, (src + dst) % 7 + 1 AS w FROM edges
+      UNION ALL
+      SELECT dst AS src, src AS dst, (src + dst) % 7 + 1 AS w FROM edges)
+    WHERE src != dst GROUP BY src, dst),"""
+        degv, m2, k = "sum(w)::BIGINT", "sum(w)::BIGINT", "sum(w)::BIGINT"
+    else:
+        und_cte = """
+  undl AS (SELECT src, dst, 1 AS w FROM und),"""
+        degv, m2, k = "count(*)::BIGINT", "count(*)::BIGINT", "count(*)::BIGINT"
     parts = [
-        f"""WITH {_EDGES_SQL},
-  deg AS (SELECT src AS vertex, count(*)::BIGINT AS degv FROM und GROUP BY src),
-  mm AS (SELECT count(*)::BIGINT AS m2 FROM und),
+        f"""WITH {_EDGES_SQL},{und_cte}
+  deg AS (SELECT src AS vertex, {degv} AS degv FROM undl GROUP BY src),
+  mm AS (SELECT {m2} AS m2 FROM undl),
   lab0 AS (SELECT vertex, vertex AS label FROM vertices)
 """
     ]
@@ -1869,8 +1899,8 @@ def _louvain2_sql() -> str:
   stot{r} AS (SELECT l.label, sum(d.degv) AS stot
               FROM lab{r} l JOIN deg d USING (vertex) GROUP BY l.label),
   cand{r} AS (SELECT vertex, cand, sum(k) AS k FROM (
-                SELECT u.src AS vertex, l.label AS cand, count(*)::BIGINT AS k
-                FROM und u JOIN lab{r} l ON l.vertex = u.dst GROUP BY u.src, l.label
+                SELECT u.src AS vertex, l.label AS cand, {k} AS k
+                FROM undl u JOIN lab{r} l ON l.vertex = u.dst GROUP BY u.src, l.label
                 UNION ALL
                 SELECT vertex, label AS cand, 0::BIGINT FROM lab{r})
               GROUP BY vertex, cand),
@@ -2847,6 +2877,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_shortest_path": graph_shortest_path,
         "graph_linkpred": graph_linkpred,
         "graph_louvain2": graph_louvain2,
+        "graph_louvain2_weighted": graph_louvain2_weighted,
         "graph_bfs_dist": graph_bfs_dist,
         "graph_diameter_sweep": graph_diameter_sweep,
         "graph_sssp": graph_sssp,
@@ -3265,6 +3296,7 @@ ORDER BY n_hits DESC, doc_id LIMIT 50
         "graph_linkpred": _linkpred_sql(),
         "graph_betweenness_weighted": _betweenness_weighted_sql(),
         "graph_louvain2": _louvain2_sql(),
+        "graph_louvain2_weighted": _louvain2_sql(weighted=True),
         "graph_bfs_dist": f"""
             WITH RECURSIVE {_EDGES_SQL},
             src AS (SELECT vertex AS s FROM vertices WHERE vertex < 8),

@@ -162,6 +162,7 @@ def louvain_one_level(
     labels: DataFrame | None = None,
     rounds: int = 2,
     num_partitions: int | None = None,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """One-level Louvain local-move refinement — greedy modularity, the
     quality-optimizing sibling of LPA.  Returns (vertex long, label long).
@@ -187,13 +188,31 @@ def louvain_one_level(
     the persisted symmetrized edges, three hash aggs (per-community Σtot,
     per-(vertex, community) k, per-vertex struct-max argmax) — all
     map-side combined, no windows, hub-safe.
+
+    ``weight_col`` runs WEIGHTED Louvain: k_v, k_{v,C}, Σtot and 2m become
+    summed edge weights (INTEGRAL, like weighted LPA — parallel /
+    both-direction weights sum), so the gain score 2m·k_{v,C} − k_v·Σtot
+    stays exact long arithmetic and the assignment stays bit-portable.
     """
     p = num_partitions or spark.sparkContext.defaultParallelism
-    und = symmetrize(edges).repartition(p, "src").persist()
-    deg = und.groupBy(F.col("src").alias("vertex")).agg(
-        F.count(F.lit(1)).alias("degv")
-    )
-    m2_row = und.agg(F.count(F.lit(1)).alias("m2"))  # 2m, in-plan broadcast
+    if weight_col is not None:
+        ew = edges.select("src", "dst", F.col(weight_col).cast("long").alias("_w"))
+        und = (
+            ew.unionByName(
+                ew.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "_w")
+            )
+            .where(F.col("src") != F.col("dst"))
+            .groupBy("src", "dst")
+            .agg(F.sum("_w").alias("_w"))
+            .repartition(p, "src")
+            .persist()
+        )
+        wexpr = F.sum("_w")
+    else:
+        und = symmetrize(edges).repartition(p, "src").persist()
+        wexpr = F.count(F.lit(1))
+    deg = und.groupBy(F.col("src").alias("vertex")).agg(wexpr.alias("degv"))
+    m2_row = und.agg(wexpr.alias("m2"))  # 2m (weighted: Σw), in-plan broadcast
     state = (
         labels.select("vertex", "label")
         if labels is not None
@@ -212,7 +231,11 @@ def louvain_one_level(
         k_vc = (
             und.join(nbr_label, "dst")
             .groupBy(F.col("src").alias("vertex"), "cand")
-            .agg(F.count(F.lit(1)).alias("k"))
+            .agg(
+                (F.sum("_w") if weight_col is not None else F.count(F.lit(1))).alias(
+                    "k"
+                )
+            )
         )
         cur = state.select("vertex", F.col("label").alias("cand"), F.lit(0).cast("long").alias("k"))
         cand = (

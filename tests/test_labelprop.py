@@ -151,3 +151,44 @@ def test_louvain_refines_lpa_to_optimal_on_ring_of_cliques(spark):
     # determinism: identical rerun
     again = louvain_one_level(spark, e, labels=lpa, rounds=2)
     assert df_to_dict(again, "vertex", "label") == df_to_dict(refined, "vertex", "label")
+
+
+def test_weighted_louvain_uniform_weights_equals_unweighted(spark):
+    """w=3 on every edge scales 2m, k_v, k_{v,C}, Σtot by the same factor:
+    every gain comparison — and therefore every label — is unchanged."""
+    from pyspark.sql import functions as F
+
+    from parallel_betweenness_centrality_using_bsp_spark.operators.labelprop import louvain_one_level
+    from tests.oracles import er_graph
+
+    edges = er_graph(60, 0.08, seed=3)
+    df = spark.createDataFrame([(u, v) for u, v in edges], "src long, dst long")
+    wdf = df.withColumn("w", F.lit(3))
+    a = {r["vertex"]: r["label"] for r in louvain_one_level(spark, df, rounds=2).collect()}
+    b = {
+        r["vertex"]: r["label"]
+        for r in louvain_one_level(spark, wdf, rounds=2, weight_col="w").collect()
+    }
+    assert a == b
+
+
+def test_weighted_louvain_heavy_edge_pulls_vertex(spark):
+    """Two triangles {0,1,2} and {3,4,5} plus bridge 2-3: unweighted, 2
+    stays with its triangle; with a dominating bridge weight, round-1's
+    gain argmax moves 2 toward 3's community instead."""
+    from parallel_betweenness_centrality_using_bsp_spark.operators.labelprop import louvain_one_level
+
+    tri = [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5), (2, 3)]
+    wdf = spark.createDataFrame(
+        [(u, v, 100 if (u, v) == (2, 3) else 1) for u, v in tri],
+        "src long, dst long, w long",
+    )
+    udf_ = spark.createDataFrame(tri, "src long, dst long")
+    uw = {r["vertex"]: r["label"] for r in louvain_one_level(spark, udf_, rounds=2).collect()}
+    w = {
+        r["vertex"]: r["label"]
+        for r in louvain_one_level(spark, wdf, rounds=2, weight_col="w").collect()
+    }
+    # weighted: 2 and 3 end in the same community; unweighted they don't
+    assert w[2] == w[3]
+    assert uw[2] != uw[3]
