@@ -1354,6 +1354,47 @@ def _node2vec3_sql(p: int = 4, q: int = 2) -> str:
     return "".join(parts)
 
 
+def graph_egonet2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius-2 ego network around vertex 0 — the per-node subgraph
+    extraction a GNN pipeline runs per labeled example: (vertex, dist,
+    ego_deg) where ego_deg is the vertex's degree INSIDE the induced
+    subgraph.  Exact int arithmetic throughout; the twin recurses the same
+    2-hop ball and induces the same edge set."""
+    from parallel_betweenness_centrality_using_bsp_spark.operators.bfs import ego_network
+
+    members, ind = ego_network(spark, _order_edges(spark, sf_dir), 0, radius=2)
+    egod = ind.groupBy(F.col("src").alias("vertex")).agg(
+        F.count(F.lit(1)).alias("ego_deg")
+    )
+    return (
+        members.join(egod, "vertex", "left")
+        .select(
+            "vertex",
+            "dist",
+            F.coalesce("ego_deg", F.lit(0)).cast("long").alias("ego_deg"),
+        )
+        .orderBy("vertex")
+    )
+
+
+def _egonet2_sql() -> str:
+    return f"""
+WITH RECURSIVE {_EDGES_SQL},
+  walk(v, d) AS (
+    SELECT 0::BIGINT, 0
+    UNION
+    SELECT u.dst, w.d + 1 FROM walk w JOIN und u ON u.src = w.v WHERE w.d < 2
+  ),
+  members AS (SELECT v AS vertex, min(d)::INT AS dist FROM walk GROUP BY v),
+  ind AS (SELECT u.src, u.dst FROM und u
+          JOIN members a ON a.vertex = u.src
+          JOIN members b ON b.vertex = u.dst),
+  egod AS (SELECT src AS vertex, count(*)::BIGINT AS ego_deg FROM ind GROUP BY src)
+SELECT m.vertex, m.dist, coalesce(e.ego_deg, 0)::BIGINT AS ego_deg
+FROM members m LEFT JOIN egod e ON e.vertex = m.vertex ORDER BY m.vertex
+"""
+
+
 def graph_neighbor_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GraphSAGE-style neighbor mean aggregation over the order-derived
     graph, node features from the embeddings table (first 8 dims): long
@@ -2894,6 +2935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_neighbor_features_2hop": graph_neighbor_features_2hop,
         "graph_random_walks": graph_random_walks,
         "graph_node2vec3": graph_node2vec3,
+        "graph_egonet2": graph_egonet2,
         "dedup_kept_count": dedup_kept_count,
         # multimodal
         "multimodal_pipeline": multimodal_pipeline,
@@ -3367,6 +3409,7 @@ ORDER BY n_hits DESC, doc_id LIMIT 50
         """,
         "graph_random_walks": _random_walks_sql(),
         "graph_node2vec3": _node2vec3_sql(),
+        "graph_egonet2": _egonet2_sql(),
         "graph_hits3": _hits3_sql(),
         "graph_adamic_adar": _adamic_adar_sql(),
         "graph_clustering": _clustering_sql(),

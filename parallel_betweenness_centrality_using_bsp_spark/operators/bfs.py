@@ -216,3 +216,40 @@ def shortest_path(
     parents.unpersist()
     assert cur == int(src)
     return spark.createDataFrame(sorted(path), "pos int, vertex long")
+
+
+def ego_network(
+    spark: SparkSession,
+    edges: DataFrame,
+    seed: int,
+    *,
+    radius: int = 2,
+    directed: bool = False,
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """(members, induced_edges) of the radius-k ego network around ``seed``
+    — the subgraph-sampling primitive a GNN training pipeline extracts per
+    labeled node (GraphSAGE/PinSAGE neighborhoods).
+
+    members: (vertex, dist) for dist ≤ radius (BFS hops, seed at 0);
+    induced_edges: the edges with BOTH endpoints inside the ball.
+
+    Plan: one depth-capped BFS wave (frontier joins — the bfs_distances
+    kernel) + TWO semi joins to induce the edge set; the member table is
+    ego-sized, so at 100 TB both semi joins broadcast the ball, never
+    shuffling the full edge table.
+    """
+    members = bfs_distances(
+        spark, edges, [int(seed)], directed=directed,
+        num_partitions=num_partitions, max_depth=radius,
+    ).select("vertex", "dist")
+    e = edges.select("src", "dst")
+    if not directed:
+        from parallel_betweenness_centrality_using_bsp_spark.operators.edges import symmetrize
+
+        e = symmetrize(edges)
+    mv = members.select("vertex")
+    induced = e.join(
+        F.broadcast(mv).withColumnRenamed("vertex", "src"), "src", "left_semi"
+    ).join(F.broadcast(mv).withColumnRenamed("vertex", "dst"), "dst", "left_semi")
+    return members, induced.select("src", "dst")

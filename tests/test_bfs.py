@@ -114,3 +114,24 @@ def test_shortest_path_extraction_vs_networkx(spark):
     iso = max(g.nodes) + 1
     df2 = spark.createDataFrame(edges + [(iso, iso + 1)], "src long, dst long")
     assert shortest_path(spark, df2, src, iso).count() == 0
+
+
+def test_ego_network_matches_networkx(spark):
+    """members == single-source shortest-path lengths cutoff 2; induced
+    edges == both orientations of nx.ego_graph(radius=2)'s edge set."""
+    from parallel_betweenness_centrality_using_bsp_spark.operators.bfs import ego_network
+
+    edges = er_graph(n=70, p=0.05, seed=17)
+    g = nx.Graph(edges)
+    seed = sorted(g.nodes)[0]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    members, induced = ego_network(spark, df, seed, radius=2)
+
+    want_m = nx.single_source_shortest_path_length(g, seed, cutoff=2)
+    got_m = {r["vertex"]: r["dist"] for r in members.collect()}
+    assert got_m == dict(want_m)
+
+    ego = nx.ego_graph(g, seed, radius=2)
+    want_e = {(u, v) for u, v in ego.edges} | {(v, u) for u, v in ego.edges}
+    got_e = {(r["src"], r["dst"]) for r in induced.collect()}
+    assert got_e == want_e
