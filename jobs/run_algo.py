@@ -32,7 +32,8 @@ def build_parser() -> argparse.ArgumentParser:
                     choices=["pagerank", "components", "labelprop", "triangles",
                              "betweenness", "betweenness-bsp", "derive-edges",
                              "sssp", "kcore", "walks", "hits",
-                             "betweenness-weighted", "louvain"])
+                             "betweenness-weighted", "louvain",
+                             "katz", "node2vec", "egonet"])
     src = ap.add_mutually_exclusive_group(required=True)
     src.add_argument("--edges", help="parquet path of (src,dst) edge table")
     src.add_argument("--repo-files", help="parquet path of repo_files table")
@@ -55,6 +56,11 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--k", type=int, default=3, help="k-core threshold")
     ap.add_argument("--walk-length", type=int, default=10)
+    ap.add_argument("--alpha", type=float, default=0.1, help="katz attenuation")
+    ap.add_argument("--p", type=int, default=1, help="node2vec return parameter")
+    ap.add_argument("--q", type=int, default=1, help="node2vec in-out parameter")
+    ap.add_argument("--seed-vertex", type=int, default=0, help="egonet center")
+    ap.add_argument("--radius", type=int, default=2, help="egonet radius")
     ap.add_argument("--bucket-state", action="store_true",
                     help="land each superstep's state as a parquet table "
                          "bucketed on its join keys (requires "
@@ -111,7 +117,8 @@ def main(argv: list[str] | None = None) -> None:
 
         algo_name = {"pagerank": "pagerank", "components": "connected_components",
                      "labelprop": "label_propagation", "sssp": "sssp",
-                     "kcore": "kcore", "walks": "walks", "hits": "hits"}.get(args.algo)
+                     "kcore": "kcore", "walks": "walks", "hits": "hits",
+                     "katz": "katz", "node2vec": "node2vec"}.get(args.algo)
         if algo_name is None:
             raise SystemExit(
                 f"--resume is not supported for --algo {args.algo} "
@@ -200,6 +207,45 @@ def main(argv: list[str] | None = None) -> None:
         run = hits(spark, e, tol=args.tol, max_supersteps=args.max_supersteps,
                    bucket_state=args.bucket_state, **common)
         out = run.state
+    elif args.algo == "katz":
+        from parallel_betweenness_centrality_using_bsp_spark.operators.pagerank import katz
+
+        run = katz(spark, e, alpha=args.alpha,
+                   max_supersteps=args.max_supersteps,
+                   bucket_state=args.bucket_state, **common)
+        out = run.state
+    elif args.algo == "node2vec":
+        from pyspark.sql import functions as F
+
+        from parallel_betweenness_centrality_using_bsp_spark.operators.walks import node2vec_walks_run
+
+        starts = (
+            e.select(F.col("src").alias("vertex"))
+            .unionByName(e.select(F.col("dst").alias("vertex")))
+            .distinct()
+            .where(F.col("vertex") < args.sources)
+        )
+        # walk_length is ABSOLUTE like walks: a resume advances the remainder
+        _, out = node2vec_walks_run(
+            spark, e, starts, walk_length=args.walk_length,
+            p=args.p, q=args.q, **common,
+        )
+    elif args.algo == "egonet":
+        from pyspark.sql import functions as F
+
+        from parallel_betweenness_centrality_using_bsp_spark.operators.bfs import ego_network
+
+        members, induced = ego_network(
+            spark, e, args.seed_vertex, radius=args.radius,
+            num_partitions=args.partitions,
+        )
+        egod = induced.groupBy(F.col("src").alias("vertex")).agg(
+            F.count(F.lit(1)).alias("ego_deg")
+        )
+        out = members.join(egod, "vertex", "left").select(
+            "vertex", "dist",
+            F.coalesce("ego_deg", F.lit(0)).cast("long").alias("ego_deg"),
+        )
     elif args.algo in ("betweenness", "betweenness-bsp"):
         from parallel_betweenness_centrality_using_bsp_spark.operators.betweenness import (
             betweenness_bsp,
