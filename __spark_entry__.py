@@ -2181,6 +2181,53 @@ def graph_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def graph_closeness_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled closeness over WEIGHTED distances (sources {v < 8}, the
+    Dijkstra sibling of graph_closeness): distances from the frontier
+    Bellman-Ford kernel, aggregation identical — the twin recurses the
+    same cost-capped walk the weighted-betweenness twin uses (shared
+    BCW_MAX_HOPS cap, so both engines agree at any sf)."""
+    from parallel_betweenness_centrality_using_bsp_spark.operators.bfs import (
+        closeness_weighted_sampled,
+    )
+
+    we = _weighted_order_edges(spark, sf_dir)
+    verts = (
+        we.select(F.col("src").alias("vertex"))
+        .unionByName(we.select(F.col("dst").alias("vertex")))
+        .distinct()
+    )
+    sources = sorted(
+        r["vertex"] for r in verts.where(F.col("vertex") < BCW_SOURCE_CAP).collect()
+    )
+    return (
+        closeness_weighted_sampled(spark, we, sources, max_hops=BCW_MAX_HOPS)
+        .select("vertex", "reached", F.round("closeness", 6).alias("closeness"))
+        .orderBy("vertex")
+    )
+
+
+def _closeness_weighted_sql() -> str:
+    return f"""
+WITH RECURSIVE {_WEDGES_SQL},
+  wsrc AS (SELECT vertex AS s FROM wverts WHERE vertex < {BCW_SOURCE_CAP}),
+  wwalk(s, v, c, h) AS (
+    SELECT s, s, 0, 0 FROM wsrc
+    UNION
+    SELECT w.s, u.dst, w.c + u.w, w.h + 1 FROM wwalk w JOIN wund u ON u.src = w.v
+    WHERE w.h < {BCW_MAX_HOPS}
+  ),
+  wdist AS (SELECT s, v, min(c)::BIGINT AS c FROM wwalk GROUP BY s, v),
+  nn AS (SELECT count(*)::BIGINT AS n FROM wverts),
+  agg AS (SELECT v AS vertex, count(*)::BIGINT AS reached, sum(c)::BIGINT AS sd
+          FROM wdist WHERE c > 0 GROUP BY v)
+SELECT vertex, reached,
+       round((reached::DOUBLE / sd::DOUBLE)
+             * (reached::DOUBLE / (nn.n - 1)::DOUBLE), 6) AS closeness
+FROM agg, nn ORDER BY vertex
+"""
+
+
 MIS_ROUNDS = 3
 
 
@@ -2913,6 +2960,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_betweenness_weighted": graph_betweenness_weighted,
         "graph_edge_betweenness": graph_edge_betweenness,
         "graph_closeness": graph_closeness,
+        "graph_closeness_weighted": graph_closeness_weighted,
         "graph_mis": graph_mis,
         "graph_coloring3": graph_coloring,
         "graph_shortest_path": graph_shortest_path,
@@ -3332,6 +3380,7 @@ ORDER BY n_hits DESC, doc_id LIMIT 50
         "graph_betweenness": _betweenness_sql(),
         "graph_edge_betweenness": _edge_betweenness_sql(),
         "graph_closeness": _closeness_sql(),
+        "graph_closeness_weighted": _closeness_weighted_sql(),
         "graph_mis": _mis_sql(),
         "graph_coloring3": _coloring_sql(),
         "graph_shortest_path": _shortest_path_sql(),

@@ -253,3 +253,46 @@ def ego_network(
         F.broadcast(mv).withColumnRenamed("vertex", "src"), "src", "left_semi"
     ).join(F.broadcast(mv).withColumnRenamed("vertex", "dst"), "dst", "left_semi")
     return members, induced.select("src", "dst")
+
+
+def closeness_weighted_sampled(
+    spark: SparkSession,
+    weighted_edges: DataFrame,
+    sources: list[int],
+    *,
+    directed: bool = False,
+    num_partitions: int | None = None,
+    wf_improved: bool = True,
+    max_hops: int = 60,
+) -> DataFrame:
+    """``closeness_sampled`` over WEIGHTED distances: the identical
+    aggregation fed by the frontier Bellman–Ford kernel (``operators.sssp``)
+    instead of BFS hops.  ``weighted_edges`` is (src, dst, w) with strictly
+    positive integral weights; ``max_hops`` caps relaxation rounds exactly
+    as in ``betweenness_weighted`` (≥ the deepest shortest path's hop count
+    for exact distances — each run also early-stops at its fixpoint)."""
+    from parallel_betweenness_centrality_using_bsp_spark.operators.sssp import sssp
+
+    d = sssp(
+        spark,
+        weighted_edges,
+        [int(s) for s in sources],
+        directed=directed,
+        num_partitions=num_partitions,
+        max_hops=max_hops,
+    )
+    n = (
+        weighted_edges.select(F.col("src").alias("v"))
+        .unionByName(weighted_edges.select(F.col("dst").alias("v")))
+        .distinct()
+        .count()
+    )
+    pos = d.where(F.col("dist") > 0)
+    agg = pos.groupBy("vertex").agg(
+        F.count(F.lit(1)).alias("reached"),
+        F.sum("dist").alias("_s"),
+    )
+    base = F.col("reached").cast("double") / F.col("_s").cast("double")
+    if wf_improved and n > 1:
+        base = base * (F.col("reached").cast("double") / F.lit(float(n - 1)))
+    return agg.select("vertex", "reached", base.alias("closeness"))

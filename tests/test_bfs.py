@@ -135,3 +135,28 @@ def test_ego_network_matches_networkx(spark):
     want_e = {(u, v) for u, v in ego.edges} | {(v, u) for u, v in ego.edges}
     got_e = {(r["src"], r["dst"]) for r in induced.collect()}
     assert got_e == want_e
+
+
+def test_weighted_closeness_matches_networkx(spark):
+    """sources = ALL vertices on an undirected weighted graph makes the
+    sampled estimator exact: scores == networkx.closeness_centrality(
+    distance='w') at 1e-9."""
+    from parallel_betweenness_centrality_using_bsp_spark.operators.bfs import (
+        closeness_weighted_sampled,
+    )
+
+    edges = er_graph(n=40, p=0.12, seed=8)
+    wedges = [(u, v, (u + v) % 4 + 1) for u, v in edges]
+    g = nx.Graph()
+    for u, v, w in wedges:
+        g.add_edge(u, v, w=w)
+    df = spark.createDataFrame(wedges, "src long, dst long, w long")
+    nodes = sorted(g.nodes)
+    got = {
+        r["vertex"]: r["closeness"]
+        for r in closeness_weighted_sampled(spark, df, nodes, max_hops=50).collect()
+    }
+    want = nx.closeness_centrality(g, distance="w")
+    assert all(abs(got[v] - want[v]) < 1e-9 for v in nodes if v in got)
+    # every non-isolated vertex is reached
+    assert set(got) == {v for v in nodes if g.degree(v) > 0}
