@@ -787,6 +787,33 @@ def training_set_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(filtered, "text", "doc_id").select("doc_id").orderBy("doc_id")
 
 
+def training_set_selection_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL curation pipeline a Gopher-style corpus build runs:
+    repetition filters (dup-trigram ≤ 0.2, top-bigram ≤ 0.5, ≥ 10 tokens,
+    Rae et al. 2021 App. A1) ∧ language == en ∧ quality ≥ 0.5 → exact
+    dedup → selected ids.  All four stages composed in one oracle-gated
+    query; every threshold compares the same exact-int-division double in
+    both engines."""
+    from parallel_betweenness_centrality_using_bsp_spark.functions.text import lang_id, quality_score
+    from parallel_betweenness_centrality_using_bsp_spark.operators.dedup import exact_dedup
+    from parallel_betweenness_centrality_using_bsp_spark.operators.features import repetition_stats
+
+    d = _t(spark, sf_dir, "documents")
+    rep_keep = (
+        repetition_stats(d)
+        .where(
+            (F.col("n_tokens") >= 10)
+            & (F.col("dup_trigram_frac") <= 0.2)
+            & (F.col("top_bigram_frac") <= 0.5)
+        )
+        .select("doc_id")
+    )
+    filtered = d.join(rep_keep, "doc_id", "left_semi").where(
+        (lang_id(F.col("text")) == "en") & (quality_score(F.col("text")) >= 0.5)
+    )
+    return exact_dedup(filtered, "text", "doc_id").select("doc_id").orderBy("doc_id")
+
+
 def minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full MinHash-LSH pipeline — ORACLE-GATED: the md5 hash family
     (signature i = min of md5(i||':'||shingle) hex strings) is reproduced
@@ -2933,6 +2960,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dup_groups": exact_dup_groups,
         "jaccard_pairs_exact": jaccard_pairs_exact,
         "training_set_selection": training_set_selection,
+        "training_set_selection_gopher": training_set_selection_gopher,
         "minhash_neardup": minhash_neardup,
         "simhash_neardup": simhash_neardup,
         # similarity
@@ -3319,6 +3347,46 @@ ORDER BY n_hits DESC, doc_id LIMIT 50
                 SELECT min(doc_id) AS doc_id
                 FROM filtered
                 GROUP BY sha256(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+            )
+            SELECT doc_id FROM keep ORDER BY doc_id
+        """,
+        "training_set_selection_gopher": rf"""
+            WITH toks AS (
+              SELECT doc_id, regexp_extract_all(lower(trim(text)), '\S+') AS t
+              FROM documents),
+            base AS (
+              SELECT doc_id, len(t)::BIGINT AS n_tokens FROM toks WHERE len(t) >= 1),
+            bg AS (
+              SELECT doc_id, unnest(list_transform(generate_series(1, len(t)-1),
+                     i -> t[i] || ' ' || t[i+1])) AS g
+              FROM toks WHERE len(t) >= 2),
+            topbg AS (
+              SELECT doc_id, max(c) AS top_c FROM (
+                SELECT doc_id, g, count(*) AS c FROM bg GROUP BY doc_id, g)
+              GROUP BY doc_id),
+            tg AS (
+              SELECT doc_id, unnest(list_transform(generate_series(1, len(t)-2),
+                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
+              FROM toks WHERE len(t) >= 3),
+            duptg AS (
+              SELECT doc_id, sum(c)::BIGINT AS dup_c FROM (
+                SELECT doc_id, g, count(*) AS c FROM tg GROUP BY doc_id, g)
+              WHERE c >= 2 GROUP BY doc_id),
+            rep_keep AS (
+              SELECT b.doc_id
+              FROM base b LEFT JOIN topbg USING (doc_id) LEFT JOIN duptg USING (doc_id)
+              WHERE b.n_tokens >= 10
+                AND least(1.0, coalesce(dup_c, 0) * 3 / n_tokens::DOUBLE) <= 0.2
+                AND least(1.0, coalesce(top_c, 0) * 2 / n_tokens::DOUBLE) <= 0.5),
+            filtered AS (
+                SELECT doc_id, text FROM documents
+                WHERE doc_id IN (SELECT doc_id FROM rep_keep)
+                  AND ({_lang_case()}) = 'en' AND ({_quality_sql()}) >= 0.5
+            ),
+            keep AS (
+                SELECT min(doc_id) AS doc_id
+                FROM filtered
+                GROUP BY sha256(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
             )
             SELECT doc_id FROM keep ORDER BY doc_id
         """,
