@@ -2234,6 +2234,47 @@ def graph_closeness_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def graph_harmonic_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled harmonic centrality over WEIGHTED distances — h(v) =
+    Σ 1/d_w(s, v) from the {v < 8} sample, distances from the frontier
+    Bellman-Ford kernel; twin = the shared cost-capped walk + the same
+    reciprocal aggregation."""
+    from parallel_betweenness_centrality_using_bsp_spark.operators.sssp import sssp
+
+    we = _weighted_order_edges(spark, sf_dir)
+    verts = (
+        we.select(F.col("src").alias("vertex"))
+        .unionByName(we.select(F.col("dst").alias("vertex")))
+        .distinct()
+    )
+    sources = sorted(
+        r["vertex"] for r in verts.where(F.col("vertex") < BCW_SOURCE_CAP).collect()
+    )
+    d = sssp(spark, we, sources, max_hops=BCW_MAX_HOPS)
+    return (
+        d.where(F.col("dist") > 0)
+        .groupBy("vertex")
+        .agg(F.round(F.sum(F.lit(1.0) / F.col("dist")), 6).alias("harmonic"))
+        .orderBy("vertex")
+    )
+
+
+def _harmonic_weighted_sql() -> str:
+    return f"""
+WITH RECURSIVE {_WEDGES_SQL},
+  wsrc AS (SELECT vertex AS s FROM wverts WHERE vertex < {BCW_SOURCE_CAP}),
+  wwalk(s, v, c, h) AS (
+    SELECT s, s, 0, 0 FROM wsrc
+    UNION
+    SELECT w.s, u.dst, w.c + u.w, w.h + 1 FROM wwalk w JOIN wund u ON u.src = w.v
+    WHERE w.h < {BCW_MAX_HOPS}
+  ),
+  wdist AS (SELECT s, v, min(c)::BIGINT AS c FROM wwalk GROUP BY s, v)
+SELECT v AS vertex, round(sum(1.0 / c), 6) AS harmonic
+FROM wdist WHERE c > 0 GROUP BY v ORDER BY vertex
+"""
+
+
 def _closeness_weighted_sql() -> str:
     return f"""
 WITH RECURSIVE {_WEDGES_SQL},
@@ -2989,6 +3030,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_edge_betweenness": graph_edge_betweenness,
         "graph_closeness": graph_closeness,
         "graph_closeness_weighted": graph_closeness_weighted,
+        "graph_harmonic_weighted": graph_harmonic_weighted,
         "graph_mis": graph_mis,
         "graph_coloring3": graph_coloring,
         "graph_shortest_path": graph_shortest_path,
@@ -3449,6 +3491,7 @@ ORDER BY n_hits DESC, doc_id LIMIT 50
         "graph_edge_betweenness": _edge_betweenness_sql(),
         "graph_closeness": _closeness_sql(),
         "graph_closeness_weighted": _closeness_weighted_sql(),
+        "graph_harmonic_weighted": _harmonic_weighted_sql(),
         "graph_mis": _mis_sql(),
         "graph_coloring3": _coloring_sql(),
         "graph_shortest_path": _shortest_path_sql(),
