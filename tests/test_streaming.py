@@ -282,3 +282,82 @@ def test_stream_static_enrichment_matches_batch(spark, tmp_path):
     got = {key(r) for r in spark.sql("SELECT * FROM enriched").collect()}
     assert got == want
     assert any(t is None for _, t in got)  # user 3's events kept with null tier
+
+
+def test_repetition_cols_match_batch_operator(spark):
+    """The streaming-safe per-row repetition expressions equal the
+    aggregation-based repetition_stats on every document."""
+    from pyspark.sql import functions as F
+
+    from parallel_betweenness_centrality_using_bsp_spark.operators.features import repetition_stats
+    from parallel_betweenness_centrality_using_bsp_spark.streaming.curation import repetition_cols
+
+    df = spark.createDataFrame(
+        [(0, "a b a b a"), (1, "u v w x"), (2, "z z z z z z"),
+         (3, "one two three one two three one"), (4, "solo")],
+        "doc_id long, text string",
+    )
+    cols = repetition_cols(F.col("text"))
+    row_form = {
+        r["doc_id"]: (r["n"], r["dr"], r["tb"], r["dt"])
+        for r in df.withColumn("_t", cols["_t"]).select(
+            "doc_id",
+            cols["n_tokens"].alias("n"),
+            cols["distinct_ratio"].alias("dr"),
+            cols["top_bigram_frac"].alias("tb"),
+            cols["dup_trigram_frac"].alias("dt"),
+        ).collect()
+    }
+    agg_form = {
+        r["doc_id"]: (r["n_tokens"], r["distinct_ratio"],
+                      r["top_bigram_frac"], r["dup_trigram_frac"])
+        for r in repetition_stats(df).collect()
+    }
+    assert set(row_form) == set(agg_form)
+    for d in agg_form:
+        for a, b in zip(row_form[d], agg_form[d]):
+            assert abs(a - b) < 1e-12, (d, row_form[d], agg_form[d])
+
+
+def test_stream_curation_matches_batch_pipeline(spark, tmp_path):
+    """curate_stream over micro-batched files == the batch filters +
+    earliest-occurrence dedup on the same rows (same survivors)."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from parallel_betweenness_centrality_using_bsp_spark.streaming.curation import curate_stream
+
+    base = datetime.datetime(2024, 1, 1)
+    good = ("the project is large and the code is good and the tests pass "
+            "and it works for all of the cases")
+    rows = [
+        (0, base, good),                                   # passes everything
+        (1, base + datetime.timedelta(minutes=1), good),   # exact dup of 0 -> dropped
+        (2, base + datetime.timedelta(minutes=2), "spam spam spam spam spam spam spam spam spam spam"),  # repetition fail
+        (3, base + datetime.timedelta(minutes=3), "der die das und ist nicht ein zu der die das und ist"),  # lang fail
+        (4, base + datetime.timedelta(minutes=4),
+         good + " plus it is of note that the extra words are here too"),  # passes
+    ]
+    schema = "doc_id long, ts timestamp, text string"
+    src = str(tmp_path / "src")
+    spark.createDataFrame(rows[:3], schema).coalesce(1).write.parquet(src)
+    spark.createDataFrame(rows[3:], schema).coalesce(1).write.mode("append").parquet(src)
+
+    batch = curate_stream(spark.createDataFrame(rows, schema))
+    want = sorted(r["doc_id"] for r in batch.collect())
+    assert want == [0, 4]  # sanity: filters bind, dup dropped
+
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    q = (
+        curate_stream(stream)
+        .writeStream.format("memory")
+        .queryName("curation_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(r["doc_id"] for r in spark.sql("SELECT doc_id FROM curation_out").collect())
+    assert got == want
