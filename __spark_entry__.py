@@ -1501,6 +1501,49 @@ GROUP BY src ORDER BY vertex
     return "".join(parts)
 
 
+CORENESS_ROUNDS = 3
+
+
+def graph_coreness3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Core-number decomposition, exactly 3 h-index rounds (Lü et al.
+    2016: c_{t+1}(v) = h-index of neighbors' c_t, c_0 = degree — converges
+    down onto the core number; fixed rounds keep the oracle quantity
+    pinned whether or not the fixpoint is reached).  The twin replays the
+    identical rounds: per-vertex distinct-value counts, a descending
+    cumulative window, H = max(least(c, #≥c))."""
+    from parallel_betweenness_centrality_using_bsp_spark.operators.coreness import coreness
+
+    e = _order_edges(spark, sf_dir)
+    return coreness(spark, e, fixed_rounds=CORENESS_ROUNDS).orderBy("vertex")
+
+
+def _coreness_sql() -> str:
+    parts = [
+        f"WITH {_EDGES_SQL},",
+        "\n  c0 AS MATERIALIZED (SELECT src AS vertex, count(*)::BIGINT AS c"
+        " FROM und GROUP BY src)",
+    ]
+    for i in range(1, CORENESS_ROUNDS + 1):
+        parts.append(
+            f""",
+  c{i} AS MATERIALIZED (
+    SELECT src AS vertex, max(least(c, ge))::BIGINT AS c FROM (
+      SELECT src, c, sum(k) OVER (PARTITION BY src ORDER BY c DESC)::BIGINT AS ge
+      FROM (SELECT e.src, p.c, count(*) AS k
+            FROM und e JOIN c{i - 1} p ON p.vertex = e.dst
+            GROUP BY e.src, p.c)
+    ) GROUP BY src
+  )
+"""
+        )
+    parts.append(
+        f"""
+SELECT vertex, c AS core FROM c{CORENESS_ROUNDS} ORDER BY vertex
+"""
+    )
+    return "".join(parts)
+
+
 def graph_eccentricity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sampled eccentricity: ecc(s) = max_v d(s, v) per sampled source
     (max over the reached set) plus the count reached — the
@@ -3048,6 +3091,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_harmonic": graph_harmonic,
         "graph_eccentricity": graph_eccentricity,
         "graph_kcore": graph_kcore,
+        "graph_coreness3": graph_coreness3,
         "graph_ktruss": graph_ktruss,
         "graph_neighbor_features": graph_neighbor_features,
         "graph_neighbor_features_2hop": graph_neighbor_features_2hop,
@@ -3512,6 +3556,7 @@ ORDER BY n_hits DESC, doc_id LIMIT 50
             FROM walk GROUP BY s, v ORDER BY source, vertex
         """,
         "graph_kcore": _kcore_sql(),
+        "graph_coreness3": _coreness_sql(),
         "graph_ktruss": _ktruss_sql(),
         "graph_diameter_sweep": _diameter_sweep_sql(),
         "graph_eccentricity": f"""

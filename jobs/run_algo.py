@@ -31,7 +31,7 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--algo", required=True,
                     choices=["pagerank", "components", "labelprop", "triangles",
                              "betweenness", "betweenness-bsp", "derive-edges",
-                             "sssp", "kcore", "walks", "hits",
+                             "sssp", "kcore", "coreness", "walks", "hits",
                              "betweenness-weighted", "louvain",
                              "katz", "node2vec", "egonet"])
     src = ap.add_mutually_exclusive_group(required=True)
@@ -117,7 +117,8 @@ def main(argv: list[str] | None = None) -> None:
 
         algo_name = {"pagerank": "pagerank", "components": "connected_components",
                      "labelprop": "label_propagation", "sssp": "sssp",
-                     "kcore": "kcore", "walks": "walks", "hits": "hits",
+                     "kcore": "kcore", "coreness": "coreness",
+                     "walks": "walks", "hits": "hits",
                      "katz": "katz", "node2vec": "node2vec"}.get(args.algo)
         if algo_name is None:
             raise SystemExit(
@@ -177,6 +178,16 @@ def main(argv: list[str] | None = None) -> None:
         out = run.state.groupBy(F.col("src").alias("vertex")).agg(
             F.count(F.lit(1)).alias("deg")
         )
+    elif args.algo == "coreness":
+        from pyspark.sql import functions as F
+
+        from parallel_betweenness_centrality_using_bsp_spark.operators.coreness import coreness_run
+
+        run = coreness_run(
+            spark, e, max_rounds=args.max_supersteps,
+            bucket_state=args.bucket_state, **common,
+        )
+        out = run.state.select("vertex", F.col("c").alias("core"))
     elif args.algo == "walks":
         from pyspark.sql import functions as F
 
