@@ -2355,6 +2355,58 @@ def graph_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
     return luby_mis(spark, e, rounds=MIS_ROUNDS).orderBy("vertex")
 
 
+MATCHING_ROUNDS = 3
+
+
+def graph_matching3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parallel greedy maximal matching (local-minimum edges), 3 fixed
+    rounds — ORACLE-GATED round-for-round: edge priorities are the
+    engine-portable md5('match:'||src||':'||dst)||tiebreak strings, so
+    the DuckDB twin unrolls the identical rounds (win = strict minimum
+    among all live edges on either endpoint, then both endpoints leave)
+    and the still-live remainder (round −1) matches exactly."""
+    from parallel_betweenness_centrality_using_bsp_spark.operators.matching import greedy_matching
+
+    e = _order_edges(spark, sf_dir)
+    return greedy_matching(spark, e, rounds=MATCHING_ROUNDS).orderBy(
+        "round", "src", "dst"
+    )
+
+
+def _matching_sql() -> str:
+    """Greedy-matching twin, ``MATCHING_ROUNDS`` rounds unrolled on the
+    identical md5 edge priorities — mirrors
+    operators/matching.py::greedy_matching round for round."""
+    parts = [
+        f"""WITH {_EDGES_SQL},
+l0 AS MATERIALIZED (SELECT src, dst,
+              md5('match:' || src::VARCHAR || ':' || dst::VARCHAR) || ':'
+                || lpad(src::VARCHAR, 12, '0') || ':'
+                || lpad(dst::VARCHAR, 12, '0') AS prio
+       FROM und WHERE src < dst)"""
+    ]
+    for k in range(1, MATCHING_ROUNDS + 1):
+        p = k - 1
+        parts.append(
+            f""",
+vm{k} AS MATERIALIZED (SELECT vertex, min(prio) AS m FROM (
+            SELECT src AS vertex, prio FROM l{p}
+            UNION ALL SELECT dst AS vertex, prio FROM l{p})
+          GROUP BY vertex),
+w{k} AS MATERIALIZED (SELECT l.src, l.dst FROM l{p} l
+         JOIN vm{k} a ON a.vertex = l.src AND l.prio = a.m
+         JOIN vm{k} b ON b.vertex = l.dst AND l.prio = b.m),
+l{k} AS MATERIALIZED (SELECT l.* FROM l{p} l
+         WHERE l.src NOT IN (SELECT src FROM w{k} UNION ALL SELECT dst FROM w{k})
+           AND l.dst NOT IN (SELECT src FROM w{k} UNION ALL SELECT dst FROM w{k}))"""
+        )
+    tails = [f"SELECT src, dst, -1 AS round FROM l{MATCHING_ROUNDS}"]
+    for k in range(1, MATCHING_ROUNDS + 1):
+        tails.append(f"SELECT src, dst, {k} AS round FROM w{k}")
+    parts.append("\n" + "\nUNION ALL ".join(tails) + "\nORDER BY round, src, dst")
+    return "".join(parts)
+
+
 COLORING_ROUNDS = 3
 SP_SRC, SP_DST = 0, 777
 
@@ -3075,6 +3127,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_closeness_weighted": graph_closeness_weighted,
         "graph_harmonic_weighted": graph_harmonic_weighted,
         "graph_mis": graph_mis,
+        "graph_matching3": graph_matching3,
         "graph_coloring3": graph_coloring,
         "graph_shortest_path": graph_shortest_path,
         "graph_linkpred": graph_linkpred,
@@ -3537,6 +3590,7 @@ ORDER BY n_hits DESC, doc_id LIMIT 50
         "graph_closeness_weighted": _closeness_weighted_sql(),
         "graph_harmonic_weighted": _harmonic_weighted_sql(),
         "graph_mis": _mis_sql(),
+        "graph_matching3": _matching_sql(),
         "graph_coloring3": _coloring_sql(),
         "graph_shortest_path": _shortest_path_sql(),
         "graph_linkpred": _linkpred_sql(),
