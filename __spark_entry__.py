@@ -1544,6 +1544,54 @@ SELECT vertex, c AS core FROM c{CORENESS_ROUNDS} ORDER BY vertex
     return "".join(parts)
 
 
+WL_ROUNDS = 3
+
+
+def graph_wl3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weisfeiler-Lehman color refinement, 3 rounds — ORACLE-GATED
+    round-for-round: colors are the engine-portable commutative-hash WL
+    variant (pair = md5_60(color || '#' || count) per distinct neighbor
+    color, new color = md5_60(own || '|' || exact decimal Σ pair)), so
+    the DuckDB twin (HUGEINT sums, identical md5 strings) reproduces
+    every color bit-for-bit."""
+    from parallel_betweenness_centrality_using_bsp_spark.operators.wl import wl_refinement
+
+    e = _order_edges(spark, sf_dir)
+    return wl_refinement(spark, e, WL_ROUNDS).orderBy("vertex")
+
+
+def _wl_sql() -> str:
+    md5i = "('0x' || substr(md5({expr}), 1, 15))::BIGINT"
+    parts = [
+        f"WITH {_EDGES_SQL},",
+        "\n  w0 AS MATERIALIZED (SELECT src AS vertex, count(*)::BIGINT AS c"
+        " FROM und GROUP BY src)",
+    ]
+    pair = md5i.format(expr="c::VARCHAR || '#' || k::VARCHAR")
+    for i in range(1, WL_ROUNDS + 1):
+        new = md5i.format(expr="own.c::VARCHAR || '|' || t.total::VARCHAR")
+        parts.append(
+            f""",
+  w{i} AS MATERIALIZED (
+    SELECT t.src AS vertex, {new} AS c
+    FROM (
+      SELECT src, sum({pair})::VARCHAR AS total
+      FROM (SELECT e.src, p.c, count(*)::BIGINT AS k
+            FROM und e JOIN w{i - 1} p ON p.vertex = e.dst
+            GROUP BY e.src, p.c)
+      GROUP BY src
+    ) t JOIN w{i - 1} own ON own.vertex = t.src
+  )
+"""
+        )
+    parts.append(
+        f"""
+SELECT vertex, c AS color FROM w{WL_ROUNDS} ORDER BY vertex
+"""
+    )
+    return "".join(parts)
+
+
 def graph_eccentricity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sampled eccentricity: ecc(s) = max_v d(s, v) per sampled source
     (max over the reached set) plus the count reached — the
@@ -3145,6 +3193,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_eccentricity": graph_eccentricity,
         "graph_kcore": graph_kcore,
         "graph_coreness3": graph_coreness3,
+        "graph_wl3": graph_wl3,
         "graph_ktruss": graph_ktruss,
         "graph_neighbor_features": graph_neighbor_features,
         "graph_neighbor_features_2hop": graph_neighbor_features_2hop,
@@ -3611,6 +3660,7 @@ ORDER BY n_hits DESC, doc_id LIMIT 50
         """,
         "graph_kcore": _kcore_sql(),
         "graph_coreness3": _coreness_sql(),
+        "graph_wl3": _wl_sql(),
         "graph_ktruss": _ktruss_sql(),
         "graph_diameter_sweep": _diameter_sweep_sql(),
         "graph_eccentricity": f"""

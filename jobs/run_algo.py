@@ -31,7 +31,7 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--algo", required=True,
                     choices=["pagerank", "components", "labelprop", "triangles",
                              "betweenness", "betweenness-bsp", "derive-edges",
-                             "sssp", "kcore", "coreness", "walks", "hits",
+                             "sssp", "kcore", "coreness", "wl", "walks", "hits",
                              "betweenness-weighted", "louvain",
                              "katz", "node2vec", "egonet"])
     src = ap.add_mutually_exclusive_group(required=True)
@@ -117,7 +117,7 @@ def main(argv: list[str] | None = None) -> None:
 
         algo_name = {"pagerank": "pagerank", "components": "connected_components",
                      "labelprop": "label_propagation", "sssp": "sssp",
-                     "kcore": "kcore", "coreness": "coreness",
+                     "kcore": "kcore", "coreness": "coreness", "wl": "wl",
                      "walks": "walks", "hits": "hits",
                      "katz": "katz", "node2vec": "node2vec"}.get(args.algo)
         if algo_name is None:
@@ -188,6 +188,16 @@ def main(argv: list[str] | None = None) -> None:
             bucket_state=args.bucket_state, **common,
         )
         out = run.state.select("vertex", F.col("c").alias("core"))
+    elif args.algo == "wl":
+        from pyspark.sql import functions as F
+
+        from parallel_betweenness_centrality_using_bsp_spark.operators.wl import wl_refinement_run
+
+        run = wl_refinement_run(
+            spark, e, rounds=args.max_supersteps,
+            bucket_state=args.bucket_state, **common,
+        )
+        out = run.state.select("vertex", F.col("c").alias("color"))
     elif args.algo == "walks":
         from pyspark.sql import functions as F
 
