@@ -735,6 +735,40 @@ def doc_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MIX_RATES = {"en": 0.8, "de": 0.5, "es": 0.25, "fr": 0.1}
+MIX_DEFAULT = 0.05  # zh and anything unlisted
+
+
+def training_mix_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing primitive: downsample each language to its target
+    weight with the deterministic md5-bucket threshold (nested across
+    rate changes, stable under growth, broadcast-dim join — never a
+    driver loop); returns the kept rows themselves so the gate checks
+    membership row-for-row, not just counts."""
+    from parallel_betweenness_centrality_using_bsp_spark.operators.features import training_mix
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        training_mix(d, MIX_RATES, default_rate=MIX_DEFAULT)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    )
+
+
+def _training_mix_sql() -> str:
+    whens = " ".join(
+        f"WHEN '{g}' THEN {int(round(r * 10_000))}"
+        for g, r in sorted(MIX_RATES.items())
+    )
+    return f"""
+        SELECT doc_id, lang, source FROM documents
+        WHERE (('0x' || substr(md5('mix:' || doc_id::VARCHAR), 1, 15))::BIGINT
+               % 10000)
+              < CASE lang {whens} ELSE {int(round(MIX_DEFAULT * 10_000))} END
+        ORDER BY doc_id
+    """
+
+
 def doc_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mean per-token unigram surprisal per doc under the corpus's own
     unigram LM (−ln p(term)) — the curation-pipeline quality signal; the
@@ -3141,6 +3175,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality_topk": doc_quality_topk,
         "doc_tfidf_top3": doc_tfidf_top3,
         "doc_sample_stats": doc_sample_stats,
+        "training_mix_by_lang": training_mix_by_lang,
         "exact_dup_groups": exact_dup_groups,
         "jaccard_pairs_exact": jaccard_pairs_exact,
         "training_set_selection": training_set_selection,
@@ -3476,6 +3511,7 @@ ORDER BY n_hits DESC, doc_id LIMIT 50
             SELECT doc_id, {_quality_sql()} AS quality
             FROM documents ORDER BY quality DESC, doc_id LIMIT 25
         """,
+        "training_mix_by_lang": _training_mix_sql(),
         "doc_sample_stats": f"""
             WITH sampled AS (
                 SELECT {_lang_case()} AS lang, {_NTOK} AS n_tok

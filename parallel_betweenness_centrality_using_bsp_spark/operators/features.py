@@ -38,6 +38,46 @@ def deterministic_sample(
     return df.where(bucket < round(fraction * buckets))
 
 
+def training_mix(
+    df: DataFrame,
+    rates: dict[str, float],
+    *,
+    group_col: str = "lang",
+    key_col: str = "doc_id",
+    default_rate: float = 0.0,
+    buckets: int = 10_000,
+    salt: str = "mix",
+) -> DataFrame:
+    """Deterministic per-group rate sampling — the data-MIXING primitive: a
+    training corpus is composed by downsampling each (language / source /
+    quality-bin) group to its target weight.  Same md5-bucket machinery as
+    ``deterministic_sample`` with a per-group threshold, so it inherits the
+    properties that matter in a pipeline: reproducible across runs/retries/
+    engines, stable under data growth, AND NESTED across rate changes —
+    the bucket depends on the key only, so the 10% sample of a group is a
+    subset of its 50% sample (mix re-weighting never churns examples).
+
+    ``rates`` maps group value → keep fraction; unlisted groups keep
+    ``default_rate``.  The rates land as a broadcast dim join (never a
+    driver-side loop or a non-codegen UDF), so the whole op is one
+    map-side stage over the fact table at any scale."""
+    from parallel_betweenness_centrality_using_bsp_spark.functions.hashing import md5_token_value
+
+    spark = df.sparkSession
+    rdf = spark.createDataFrame(
+        [(g, int(round(r * buckets))) for g, r in sorted(rates.items())],
+        f"{group_col} string, _thr int",
+    )
+    bucket = md5_token_value(
+        F.concat_ws(":", F.lit(salt), F.col(key_col).cast("string"))
+    ) % F.lit(buckets)
+    return (
+        df.join(F.broadcast(rdf), group_col, "left")
+        .where(bucket < F.coalesce(F.col("_thr"), F.lit(int(round(default_rate * buckets)))))
+        .drop("_thr")
+    )
+
+
 def tf_idf_terms(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

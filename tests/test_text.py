@@ -78,6 +78,35 @@ def test_deterministic_sample_stable_and_consistent(spark):
     assert c <= a
 
 
+def test_training_mix_rates_nesting_and_plan(spark):
+    from parallel_betweenness_centrality_using_bsp_spark.operators.features import training_mix
+
+    rows = [(i, ["en", "de", "zh"][i % 3]) for i in range(3000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+
+    kept = training_mix(df, {"en": 0.8, "de": 0.2}, default_rate=0.05)
+    by_lang = {
+        r["lang"]: r["n"]
+        for r in kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert 0.72 < by_lang["en"] / 1000 < 0.88
+    assert 0.14 < by_lang["de"] / 1000 < 0.26
+    assert 0.01 < by_lang.get("zh", 0) / 1000 < 0.10  # default_rate path
+
+    # nested across rate changes: the 20% en-mix is a subset of the 80% one
+    small = training_mix(df, {"en": 0.2}, default_rate=0.0)
+    big_ids = {r["doc_id"] for r in kept.where(F.col("lang") == "en").collect()}
+    small_ids = {r["doc_id"] for r in small.collect()}
+    assert small_ids and small_ids <= big_ids
+
+    # deterministic: same call, same rows
+    again = {r["doc_id"] for r in training_mix(df, {"en": 0.2}, default_rate=0.0).collect()}
+    assert again == small_ids
+
+    # the rates dim must land as a broadcast join, never a shuffle
+    assert "BroadcastHashJoin" in kept._jdf.queryExecution().executedPlan().toString()
+
+
 def test_unigram_surprisal_ranks_rare_tokens_higher(spark):
     import math
 
