@@ -1578,6 +1578,49 @@ SELECT vertex, c AS core FROM c{CORENESS_ROUNDS} ORDER BY vertex
     return "".join(parts)
 
 
+def graph_profile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row DESCRIBE-GRAPH: sizes, reciprocity, degree stats, density,
+    wedges, global clustering (3·triangles/wedges), power-law MLE α
+    (Clauset et al. 2009, x_min = 1) — all hash aggregates + one-row
+    crossJoins, counts exact BIGINTs, ratios rounded to 6dp."""
+    from parallel_betweenness_centrality_using_bsp_spark.operators.edges import graph_profile
+
+    e = _order_edges(spark, sf_dir)
+    return graph_profile(spark, e)
+
+
+def _graph_profile_sql() -> str:
+    return f"""
+        WITH {_EDGES_SQL},
+        undc AS (SELECT src, dst FROM und WHERE src < dst),
+        deg AS (SELECT src AS vertex, count(*)::BIGINT AS deg FROM und GROUP BY src),
+        ds AS (SELECT count(*)::BIGINT AS n_vertices,
+                      min(deg)::BIGINT AS min_degree,
+                      max(deg)::BIGINT AS max_degree,
+                      sum((deg * (deg - 1)) // 2)::BIGINT AS wedges,
+                      sum(ln(deg / 0.5)) AS lnsum
+               FROM deg),
+        sz AS (SELECT (SELECT count(*) FROM edges)::BIGINT AS n_edges_directed,
+                      (SELECT count(*) FROM undc)::BIGINT AS n_edges),
+        rc AS (SELECT count(*)::BIGINT AS recip FROM edges e
+               WHERE EXISTS (SELECT 1 FROM edges r
+                             WHERE r.src = e.dst AND r.dst = e.src)),
+        tr AS (SELECT count(*)::BIGINT AS triangles
+               FROM und e1 JOIN und e2 ON e1.dst = e2.src
+                           JOIN und e3 ON e3.src = e1.src AND e3.dst = e2.dst
+               WHERE e1.src < e1.dst AND e2.src < e2.dst)
+        SELECT n_vertices, n_edges_directed, n_edges,
+               round(recip / n_edges_directed, 6) AS reciprocity,
+               min_degree, max_degree,
+               round(2.0 * n_edges / n_vertices, 6) AS avg_degree,
+               round(2.0 * n_edges / (n_vertices * (n_vertices - 1)), 6) AS density,
+               wedges, triangles,
+               round(3.0 * triangles / wedges, 6) AS global_clustering,
+               round(1.0 + n_vertices / lnsum, 6) AS alpha_mle
+        FROM ds, sz, rc, tr
+    """
+
+
 WL_ROUNDS = 3
 
 
@@ -3229,6 +3272,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_kcore": graph_kcore,
         "graph_coreness3": graph_coreness3,
         "graph_wl3": graph_wl3,
+        "graph_profile_summary": graph_profile_summary,
         "graph_ktruss": graph_ktruss,
         "graph_neighbor_features": graph_neighbor_features,
         "graph_neighbor_features_2hop": graph_neighbor_features_2hop,
@@ -3697,6 +3741,7 @@ ORDER BY n_hits DESC, doc_id LIMIT 50
         "graph_kcore": _kcore_sql(),
         "graph_coreness3": _coreness_sql(),
         "graph_wl3": _wl_sql(),
+        "graph_profile_summary": _graph_profile_sql(),
         "graph_ktruss": _ktruss_sql(),
         "graph_diameter_sweep": _diameter_sweep_sql(),
         "graph_eccentricity": f"""

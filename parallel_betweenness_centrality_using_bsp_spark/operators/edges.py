@@ -154,6 +154,84 @@ def partition_edges(edges: DataFrame, num_partitions: int, key: str = "src") -> 
     return edges.repartition(num_partitions, key).persist()
 
 
+def graph_profile(spark, edges: DataFrame, num_partitions: int | None = None) -> DataFrame:
+    """One-row graph summary — the DESCRIBE-GRAPH a user runs before
+    choosing algorithms/partitioning: sizes, density, directed-edge
+    reciprocity, degree stats, wedge count, global clustering coefficient
+    (3·triangles / wedges), and the continuous power-law MLE exponent
+    (Clauset, Shalizi & Newman 2009, x_min = 1:
+    α̂ = 1 + n / Σ ln(d / 0.5)).
+
+    Everything is a hash aggregate over the edge/degree tables composed
+    with crossJoins of one-row frames — no driver-side collects, so the
+    same plan profiles a 10^12-edge graph; counts stay exact BIGINTs and
+    only the final ratios are floats (rounded to 6dp, the float-family
+    gate convention)."""
+    from parallel_betweenness_centrality_using_bsp_spark.operators.triangles import triangle_triples
+
+    d = (
+        edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+        .persist()
+    )
+    und = symmetrize(d).where(F.col("src") < F.col("dst"))
+
+    deg = symmetrize(d).groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    deg_stats = deg.agg(
+        F.count(F.lit(1)).alias("n_vertices"),
+        F.min("deg").alias("min_degree"),
+        F.max("deg").alias("max_degree"),
+        # d(d−1) is even per row, so integer DIV keeps everything a LONG end
+        # to end (exactness survives past 2^53 where double division breaks)
+        F.sum(F.expr("deg * (deg - 1) DIV 2")).alias("wedges"),
+        F.sum(F.log(F.col("deg") / F.lit(0.5))).alias("_lnsum"),
+    )
+    sizes = d.agg(F.count(F.lit(1)).alias("n_edges_directed")).crossJoin(
+        und.agg(F.count(F.lit(1)).alias("n_edges"))
+    )
+    recip = (
+        d.join(
+            d.select(F.col("dst").alias("src"), F.col("src").alias("dst")),
+            ["src", "dst"],
+            "left_semi",
+        )
+        .agg(F.count(F.lit(1)).alias("_recip"))
+    )
+    tri = triangle_triples(spark, d, num_partitions).agg(
+        F.count(F.lit(1)).alias("triangles")
+    )
+
+    out = (
+        deg_stats.crossJoin(sizes)
+        .crossJoin(recip)
+        .crossJoin(tri)
+        .select(
+            "n_vertices",
+            "n_edges_directed",
+            "n_edges",
+            F.round(F.col("_recip") / F.col("n_edges_directed"), 6).alias("reciprocity"),
+            "min_degree",
+            "max_degree",
+            F.round(F.lit(2.0) * F.col("n_edges") / F.col("n_vertices"), 6).alias("avg_degree"),
+            F.round(
+                F.lit(2.0) * F.col("n_edges")
+                / (F.col("n_vertices") * (F.col("n_vertices") - 1)),
+                6,
+            ).alias("density"),
+            "wedges",
+            "triangles",
+            F.round(F.lit(3.0) * F.col("triangles") / F.col("wedges"), 6).alias(
+                "global_clustering"
+            ),
+            F.round(F.lit(1.0) + F.col("n_vertices") / F.col("_lnsum"), 6).alias(
+                "alpha_mle"
+            ),
+        )
+    )
+    return out
+
+
 def degree_assortativity(edges: DataFrame) -> DataFrame:
     """1-row ``(n_dir_edges long, assortativity double)`` — Newman's degree
     assortativity coefficient (Newman 2002, "Assortative mixing in

@@ -114,3 +114,34 @@ def test_degree_assortativity_vs_networkx(spark):
         spark.createDataFrame(ring, "src long, dst long")
     ).collect()[0]
     assert got["assortativity"] is None
+
+
+def test_graph_profile_matches_networkx(spark):
+    import math
+
+    import networkx as nx
+
+    from parallel_betweenness_centrality_using_bsp_spark.operators.edges import graph_profile
+    from tests.oracles import ba_graph
+
+    edges = ba_graph(80, 3, seed=13)
+    # make it genuinely directed: drop a few reverses, keep a few
+    directed = edges + [(v, u) for u, v in edges[::3]]
+    df = spark.createDataFrame(directed, "src long, dst long")
+    got = graph_profile(spark, df).collect()[0]
+
+    g = nx.Graph(edges)
+    dg = nx.DiGraph(directed)
+    n, m = g.number_of_nodes(), g.number_of_edges()
+    assert got["n_vertices"] == n
+    assert got["n_edges"] == m
+    assert got["n_edges_directed"] == dg.number_of_edges()
+    assert abs(got["reciprocity"] - nx.reciprocity(dg)) < 1e-6
+    assert got["max_degree"] == max(d for _, d in g.degree())
+    assert abs(got["avg_degree"] - 2 * m / n) < 1e-6
+    assert abs(got["density"] - nx.density(g)) < 1e-6
+    assert got["wedges"] == sum(d * (d - 1) // 2 for _, d in g.degree())
+    assert got["triangles"] == sum(nx.triangles(g).values()) // 3
+    assert abs(got["global_clustering"] - nx.transitivity(g)) < 1e-6
+    alpha = 1 + n / sum(math.log(d / 0.5) for _, d in g.degree())
+    assert abs(got["alpha_mle"] - alpha) < 1e-6
