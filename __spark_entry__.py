@@ -1745,6 +1745,66 @@ ORDER BY h.vertex
     return "".join(parts)
 
 
+SALSA_ITERS = 3
+
+
+def graph_salsa3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SALSA hubs & authorities (Lempel-Moran degree-normalized walk),
+    exactly 3 iterations on the DIRECTED edge set — the oracle unrolls
+    the identical iterations (auth' = Σ hub/outdeg over in-edges, hub' =
+    Σ fresh-auth/indeg over out-edges; no normalization step exists to
+    mismatch), 6-decimal rounding."""
+    from parallel_betweenness_centrality_using_bsp_spark.operators.hits import salsa
+
+    e = _order_edges(spark, sf_dir)
+    run = salsa(spark, e, tol=0.0, max_supersteps=SALSA_ITERS, count_rows=False)
+    return run.state.select(
+        "vertex", F.round("hub", 6).alias("hub"), F.round("auth", 6).alias("auth")
+    ).orderBy("vertex")
+
+
+def _salsa3_sql() -> str:
+    """SALSA_ITERS unrolled iterations matching operators/hits.py::salsa
+    exactly — the _hits3_sql scaffolding with per-edge degree division in
+    place of global L1 normalization."""
+    parts = [
+        f"WITH {_EDGES_SQL},",
+        """
+  hverts AS (SELECT DISTINCT src AS vertex FROM edges
+             UNION SELECT DISTINCT dst FROM edges),
+  n_h AS (SELECT count(*)::DOUBLE AS n FROM hverts),
+  od AS (SELECT src, count(*)::BIGINT AS od FROM edges GROUP BY src),
+  idg AS (SELECT dst, count(*)::BIGINT AS idg FROM edges GROUP BY dst),
+  h0 AS (SELECT vertex, 1.0 / (SELECT n FROM n_h) AS hub FROM hverts)
+""",
+    ]
+    for k in range(1, SALSA_ITERS + 1):
+        parts.append(
+            f""",
+  ra{k} AS (SELECT e.dst AS vertex, sum(h.hub / o.od) AS ra
+            FROM h{k - 1} h JOIN edges e ON e.src = h.vertex
+                            JOIN od o ON o.src = e.src
+            GROUP BY e.dst),
+  a{k} AS (SELECT v.vertex, coalesce(r.ra, 0.0) AS auth
+           FROM hverts v LEFT JOIN ra{k} r ON r.vertex = v.vertex),
+  rh{k} AS (SELECT e.src AS vertex, sum(a.auth / i.idg) AS rh
+            FROM a{k} a JOIN edges e ON e.dst = a.vertex
+                        JOIN idg i ON i.dst = e.dst
+            GROUP BY e.src),
+  h{k} AS (SELECT v.vertex, coalesce(r.rh, 0.0) AS hub
+           FROM hverts v LEFT JOIN rh{k} r ON r.vertex = v.vertex)
+"""
+        )
+    parts.append(
+        f"""
+SELECT h.vertex, round(h.hub, 6) AS hub, round(a.auth, 6) AS auth
+FROM h{SALSA_ITERS} h JOIN a{SALSA_ITERS} a ON a.vertex = h.vertex
+ORDER BY h.vertex
+"""
+    )
+    return "".join(parts)
+
+
 def _order_edges_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The order graph SPARSIFIED by a deterministic row filter on the raw
     keys (kept iff (7·custkey + orderkey) % 4 == 0) — the full graph is one
@@ -3263,6 +3323,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_diameter_sweep": graph_diameter_sweep,
         "graph_sssp": graph_sssp,
         "graph_hits3": graph_hits3,
+        "graph_salsa3": graph_salsa3,
         "graph_adamic_adar": graph_adamic_adar,
         "graph_clustering": graph_clustering,
         "graph_scc": graph_scc,
@@ -3801,6 +3862,7 @@ ORDER BY n_hits DESC, doc_id LIMIT 50
         "graph_node2vec3": _node2vec3_sql(),
         "graph_egonet2": _egonet2_sql(),
         "graph_hits3": _hits3_sql(),
+        "graph_salsa3": _salsa3_sql(),
         "graph_adamic_adar": _adamic_adar_sql(),
         "graph_clustering": _clustering_sql(),
         "graph_scc": _scc_sql(),

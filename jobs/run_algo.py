@@ -31,7 +31,7 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--algo", required=True,
                     choices=["pagerank", "components", "labelprop", "triangles",
                              "betweenness", "betweenness-bsp", "derive-edges",
-                             "sssp", "kcore", "coreness", "wl", "walks", "hits",
+                             "sssp", "kcore", "coreness", "wl", "walks", "hits", "salsa",
                              "betweenness-weighted", "louvain",
                              "katz", "node2vec", "egonet"])
     src = ap.add_mutually_exclusive_group(required=True)
@@ -118,7 +118,7 @@ def main(argv: list[str] | None = None) -> None:
         algo_name = {"pagerank": "pagerank", "components": "connected_components",
                      "labelprop": "label_propagation", "sssp": "sssp",
                      "kcore": "kcore", "coreness": "coreness", "wl": "wl",
-                     "walks": "walks", "hits": "hits",
+                     "walks": "walks", "hits": "hits", "salsa": "salsa",
                      "katz": "katz", "node2vec": "node2vec"}.get(args.algo)
         if algo_name is None:
             raise SystemExit(
@@ -227,6 +227,12 @@ def main(argv: list[str] | None = None) -> None:
 
         run = hits(spark, e, tol=args.tol, max_supersteps=args.max_supersteps,
                    bucket_state=args.bucket_state, **common)
+        out = run.state
+    elif args.algo == "salsa":
+        from parallel_betweenness_centrality_using_bsp_spark.operators.hits import salsa
+
+        run = salsa(spark, e, tol=args.tol, max_supersteps=args.max_supersteps,
+                    bucket_state=args.bucket_state, **common)
         out = run.state
     elif args.algo == "katz":
         from parallel_betweenness_centrality_using_bsp_spark.operators.pagerank import katz
