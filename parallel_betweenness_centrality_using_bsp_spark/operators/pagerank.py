@@ -187,6 +187,43 @@ def pagerank(
     return run
 
 
+def pagerank_warm_start(
+    spark: SparkSession,
+    edges: DataFrame,
+    prev_ranks: DataFrame,
+    **kwargs,
+) -> SuperstepRun:
+    """Incremental PageRank after a graph delta — the recompute-after-crawl
+    primitive: instead of restarting from the uniform vector, seed the
+    power iteration with the PREVIOUS run's ranks.  Power iteration
+    contracts the error by the damping factor per step, so a warm start
+    whose distance to the new fixpoint is small (a crawl delta touches a
+    tiny fraction of edges) converges in a handful of supersteps where a
+    cold start needs its full O(log(1/tol)/log(1/alpha)) — measured in the
+    tests (warm strictly fewer supersteps, same fixpoint to tolerance).
+
+    Vertex churn is handled in-plan: vertices new since ``prev_ranks``
+    enter at 1/n, departed vertices drop, and the seed vector is
+    renormalized to Σ pr = 1 with a broadcast 1-row aggregate so the mass
+    invariant every other pagerank path maintains holds from superstep 0.
+    Accepts every ``pagerank`` keyword (tol, alpha, weight_col,
+    bucket_state, ...)."""
+    cur = (
+        edges.select(F.col("src").alias("vertex"))
+        .unionByName(edges.select(F.col("dst").alias("vertex")))
+        .distinct()
+    )
+    n = cur.count()
+    seeded = cur.join(
+        prev_ranks.select("vertex", F.col("pr").alias("_prev")), "vertex", "left"
+    ).select("vertex", F.coalesce(F.col("_prev"), F.lit(1.0 / n)).alias("pr"))
+    total = seeded.agg(F.sum("pr").alias("_s"))
+    state0 = seeded.join(F.broadcast(total)).select(
+        "vertex", (F.col("pr") / F.col("_s")).alias("pr")
+    )
+    return pagerank(spark, edges, resume_state=state0, **kwargs)
+
+
 def katz(
     spark: SparkSession,
     edges: DataFrame,

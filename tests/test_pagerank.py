@@ -102,3 +102,43 @@ def test_katz_truncated_matches_numpy(spark):
     got = df_to_dict(run.state, "vertex", "katz")
     assert len(got) == len(nodes)
     assert all(abs(got[v] - x[idx[v]]) < 1e-9 for v in nodes)
+
+
+def test_pagerank_warm_start_converges_faster_same_fixpoint(spark):
+    from parallel_betweenness_centrality_using_bsp_spark.operators.pagerank import (
+        pagerank,
+        pagerank_warm_start,
+    )
+    from tests.oracles import ba_graph
+
+    base = ba_graph(n=150, m=3, seed=29)
+    e0 = edge_df(spark, base)
+    run0 = pagerank(spark, e0, tol=1e-10, count_rows=False)
+
+    # a crawl delta away from the hubs: two new leaf-to-leaf edges plus a
+    # brand-new vertex 200 (touching a hub would perturb ranks globally
+    # and erase the warm-start advantage — as a real crawl delta mostly
+    # doesn't)
+    delta = [(144, 200), (200, 145), (146, 147)]
+    e1 = edge_df(spark, base + delta)
+    cold = pagerank(spark, e1, tol=1e-10, count_rows=False)
+    warm = pagerank_warm_start(spark, e1, run0.state, tol=1e-10, count_rows=False)
+
+    assert warm.converged and cold.converged
+    assert warm.supersteps < cold.supersteps  # the point of warm starting
+    got = {r["vertex"]: r["pr"] for r in warm.state.collect()}
+    want = {r["vertex"]: r["pr"] for r in cold.state.collect()}
+    assert set(got) == set(want) and 200 in got  # new vertex entered
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-7
+    assert abs(sum(got.values()) - 1.0) < 1e-9  # mass invariant from step 0
+
+    # the substantive claim: the warm seed starts several times closer to
+    # the new fixpoint than the uniform vector (measured 0.17x here — the
+    # delta's leaves still shift their whole neighborhoods on a 150-vertex
+    # graph; the ratio only improves as the graph outgrows the delta)
+    prev = {r["vertex"]: r["pr"] for r in run0.state.collect()}
+    n = len(want)
+    seed_dist = sum(abs(prev.get(v, 1.0 / n) - want[v]) for v in want)
+    uniform_dist = sum(abs(1.0 / n - want[v]) for v in want)
+    assert seed_dist < 0.25 * uniform_dist
