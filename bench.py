@@ -96,6 +96,24 @@ def main() -> None:
     throughput["hits_iters_per_sec"] = round(3 / queries["hits_3iter"], 4)
     timed("scc", lambda: _scc(spark, g).count())
 
+    from parallel_betweenness_centrality_using_bsp_spark.operators.coreness import (
+        coreness_run as _coreness,
+    )
+    from parallel_betweenness_centrality_using_bsp_spark.operators.hits import salsa as _salsa
+
+    # new in this session: SALSA (two joins + two aggs per superstep — no
+    # normalization jobs) and full core-number decomposition to the
+    # h-index fixpoint (round count is graph-dependent; recorded below)
+    timed("salsa_3iter", lambda: _salsa(spark, g, tol=0.0, max_supersteps=3, count_rows=False))
+    res_core = None
+
+    def _run_coreness():
+        nonlocal res_core
+        res_core = _coreness(spark, g)
+        return res_core.state.count()
+
+    timed("coreness_fixpoint", _run_coreness)
+
     # Warm-up + min-of-2 for the kernel-bound headline (r1 recorded a 25.1s
     # outlier vs its own 11.0-15.6s range — contention from prior JVM work):
     # a tiny sweep first starts/JITs the Python workers, then the best of two
@@ -222,6 +240,7 @@ def main() -> None:
                     "graph": {"n_vertices": N_VERT, "n_edges_requested": N_EDGE, "n_edges": m},
                     "pagerank_supersteps": run_pr.supersteps,
                     "cc_supersteps": run_cc.supersteps,
+                    "coreness_rounds": res_core.supersteps,
                 },
             }
         )
