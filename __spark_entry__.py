@@ -769,6 +769,45 @@ def _training_mix_sql() -> str:
     """
 
 
+PACK_SEQ_LEN = 256
+
+
+def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM sequence packing: concatenate the corpus's token streams in
+    doc_id order and slice into PACK_SEQ_LEN-token training chunks —
+    output is the exact (doc × chunk) segment layout as LONGs, so the
+    gate checks the packing bit-for-bit (the Spark side derives global
+    offsets via the two-phase partition-prefix cumsum, never a
+    single-partition window)."""
+    from parallel_betweenness_centrality_using_bsp_spark.functions.text import token_count
+    from parallel_betweenness_centrality_using_bsp_spark.operators.features import pack_sequences
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+    return pack_sequences(d, PACK_SEQ_LEN).orderBy("chunk_id", "doc_id")
+
+
+def _pack_sequences_sql() -> str:
+    S = PACK_SEQ_LEN
+    return f"""
+        WITH d AS (SELECT doc_id, ({_NTOK})::BIGINT AS n FROM documents
+                   WHERE ({_NTOK}) > 0),
+        c AS (SELECT doc_id, n,
+                     (sum(n) OVER (ORDER BY doc_id) - n)::BIGINT AS o
+              FROM d),
+        seg AS (SELECT doc_id, n, o,
+                       unnest(generate_series(o // {S}, (o + n - 1) // {S}))::BIGINT
+                         AS chunk_id
+                FROM c)
+        SELECT doc_id, chunk_id,
+               (greatest(o, chunk_id*{S}) - chunk_id*{S})::BIGINT AS chunk_pos,
+               (greatest(o, chunk_id*{S}) - o)::BIGINT AS doc_start,
+               (least(o+n, (chunk_id+1)*{S}) - greatest(o, chunk_id*{S}))::BIGINT AS seg_len
+        FROM seg ORDER BY chunk_id, doc_id
+    """
+
+
 def doc_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mean per-token unigram surprisal per doc under the corpus's own
     unigram LM (−ln p(term)) — the curation-pipeline quality signal; the
@@ -3279,6 +3318,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_tfidf_top3": doc_tfidf_top3,
         "doc_sample_stats": doc_sample_stats,
         "training_mix_by_lang": training_mix_by_lang,
+        "doc_pack_sequences": doc_pack_sequences,
         "exact_dup_groups": exact_dup_groups,
         "jaccard_pairs_exact": jaccard_pairs_exact,
         "training_set_selection": training_set_selection,
@@ -3617,6 +3657,7 @@ ORDER BY n_hits DESC, doc_id LIMIT 50
             FROM documents ORDER BY quality DESC, doc_id LIMIT 25
         """,
         "training_mix_by_lang": _training_mix_sql(),
+        "doc_pack_sequences": _pack_sequences_sql(),
         "doc_sample_stats": f"""
             WITH sampled AS (
                 SELECT {_lang_case()} AS lang, {_NTOK} AS n_tok

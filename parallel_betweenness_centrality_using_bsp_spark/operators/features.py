@@ -11,7 +11,7 @@ wide array per group.  (Assembling array columns back is a trivial
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -75,6 +75,77 @@ def training_mix(
         df.join(F.broadcast(rdf), group_col, "left")
         .where(bucket < F.coalesce(F.col("_thr"), F.lit(int(round(default_rate * buckets)))))
         .drop("_thr")
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    seq_len: int,
+    *,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """Sequence packing — the LLM-pretraining step that concatenates
+    tokenized documents (in deterministic ``id_col`` order) into
+    fixed-length training chunks of ``seq_len`` tokens, letting documents
+    span chunk boundaries.  Output is one row per (document × chunk it
+    touches):
+
+        (doc_id, chunk_id, chunk_pos, doc_start, seg_len)
+
+    — i.e. tokens [doc_start, doc_start+seg_len) of the document land at
+    [chunk_pos, chunk_pos+seg_len) of the chunk.  Every chunk except the
+    last sums to exactly ``seq_len``; every document's segments partition
+    it.  All columns are exact LONGs, so the layout is reproducible across
+    engines/retries — a training job can re-derive any shard's contents
+    from (doc_id → offset) alone.
+
+    The global running offset uses the ``densify_vertices`` two-phase
+    pattern (per-range-partition window cumsum + P driver-side partition
+    totals broadcast back) instead of a single-partition global window —
+    the shape that packs a 10^12-token corpus.  A document only fans out
+    into as many rows as chunks it spans (output-proportional, no skew
+    amplification)."""
+    spark = docs.sparkSession
+    d = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(tokens_col).cast("long").alias("n")
+    ).where(F.col(tokens_col) > 0)
+    n_part = max(d.rdd.getNumPartitions(), 1)
+    ranged = d.repartitionByRange(n_part, F.col("doc_id")).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w = Window.partitionBy("_pid").orderBy("doc_id")
+    local = ranged.withColumn("_lcum", F.sum("n").over(w) - F.col("n"))
+    totals = local.groupBy("_pid").agg(F.sum("n").alias("_t")).collect()
+    offsets, acc = {}, 0
+    for row in sorted(totals, key=lambda r: r["_pid"]):
+        offsets[row["_pid"]] = acc
+        acc += row["_t"]
+    off_df = spark.createDataFrame(
+        [(pid, off) for pid, off in offsets.items()], "_pid int, _off long"
+    )
+    s = F.lit(int(seq_len)).cast("long")
+    placed = (
+        local.join(F.broadcast(off_df), "_pid")
+        .withColumn("_o", F.col("_lcum") + F.col("_off"))
+        .withColumn(
+            "chunk_id",
+            F.explode(
+                F.sequence(
+                    F.expr(f"_o DIV {int(seq_len)}"),
+                    F.expr(f"(_o + n - 1) DIV {int(seq_len)}"),
+                )
+            ),
+        )
+    )
+    gstart = F.greatest(F.col("_o"), F.col("chunk_id") * s)
+    gend = F.least(F.col("_o") + F.col("n"), (F.col("chunk_id") + 1) * s)
+    return placed.select(
+        "doc_id",
+        "chunk_id",
+        (gstart - F.col("chunk_id") * s).alias("chunk_pos"),
+        (gstart - F.col("_o")).alias("doc_start"),
+        (gend - gstart).alias("seg_len"),
     )
 
 
