@@ -808,6 +808,47 @@ def _pack_sequences_sql() -> str:
     """
 
 
+def doc_encoded_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-style corpus encoding: a frequency-ranked vocabulary
+    (count DESC, term ASC → dense ids, two-phase global ranking) built
+    over the WHOLE corpus, then docs with doc_id < 20 encoded as
+    (doc_id, pos, term_id) token-id streams — the long scalar layout
+    that feeds sequence packing.  The twin rebuilds the identical
+    vocabulary with a window rank and indexes the token arrays."""
+    from parallel_betweenness_centrality_using_bsp_spark.operators.features import (
+        build_vocab,
+        encode_docs,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    vocab = build_vocab(d)
+    return (
+        encode_docs(d.where(F.col("doc_id") < 20), vocab)
+        .orderBy("doc_id", "pos")
+    )
+
+
+def _encoded_sample_sql() -> str:
+    return r"""
+        WITH terms AS (
+          SELECT unnest(regexp_extract_all(trim(text), '\S+')) AS term
+          FROM documents),
+        hist AS (SELECT term, count(*)::BIGINT AS count FROM terms GROUP BY term),
+        vocab AS (SELECT term,
+                         (row_number() OVER (ORDER BY count DESC, term) - 1)::BIGINT
+                           AS term_id
+                  FROM hist),
+        t AS (SELECT doc_id, regexp_extract_all(trim(text), '\S+') AS toks
+              FROM documents WHERE doc_id < 20),
+        e AS (SELECT doc_id, toks,
+                     unnest(generate_series(1, len(toks)))::BIGINT AS i
+              FROM t)
+        SELECT e.doc_id, (e.i - 1)::BIGINT AS pos, v.term_id
+        FROM e JOIN vocab v ON v.term = e.toks[e.i]
+        ORDER BY doc_id, pos
+    """
+
+
 def doc_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mean per-token unigram surprisal per doc under the corpus's own
     unigram LM (−ln p(term)) — the curation-pipeline quality signal; the
@@ -3319,6 +3360,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_sample_stats": doc_sample_stats,
         "training_mix_by_lang": training_mix_by_lang,
         "doc_pack_sequences": doc_pack_sequences,
+        "doc_encoded_sample": doc_encoded_sample,
         "exact_dup_groups": exact_dup_groups,
         "jaccard_pairs_exact": jaccard_pairs_exact,
         "training_set_selection": training_set_selection,
@@ -3658,6 +3700,7 @@ ORDER BY n_hits DESC, doc_id LIMIT 50
         """,
         "training_mix_by_lang": _training_mix_sql(),
         "doc_pack_sequences": _pack_sequences_sql(),
+        "doc_encoded_sample": _encoded_sample_sql(),
         "doc_sample_stats": f"""
             WITH sampled AS (
                 SELECT {_lang_case()} AS lang, {_NTOK} AS n_tok

@@ -149,6 +149,63 @@ def pack_sequences(
     )
 
 
+def build_vocab(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    min_count: int = 1,
+    max_size: int | None = None,
+) -> DataFrame:
+    """(term string, term_id long, count long): the training-tokenizer
+    vocabulary — whitespace terms ranked by (count DESC, term ASC), ids
+    dense from 0.  Deterministic: the id of a term depends only on the
+    corpus's term histogram.  Ranking reuses the ``densify_vertices``
+    two-phase global ranking (range partition on the sort key + P
+    partition counts broadcast back), so a 10^9-term vocabulary never
+    serializes through one window task."""
+    from parallel_betweenness_centrality_using_bsp_spark.operators.edges import densify_vertices
+
+    terms = (
+        docs.select(
+            F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("term")
+        )
+        .where(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("count"))
+        .where(F.col("count") >= min_count)
+    )
+    ranked = densify_vertices(
+        terms.withColumn("_neg", -F.col("count")), ["_neg", "term"], id_col="term_id"
+    )
+    counts = terms.select("term", "count")
+    out = ranked.select("term", "term_id").join(counts, "term")
+    if max_size is not None:
+        out = out.where(F.col("term_id") < max_size)
+    return out
+
+
+def encode_docs(
+    docs: DataFrame,
+    vocab: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, pos, term_id): each document as its token-id stream in the
+    long scalar layout (the repo's standard at-scale shape — feeds
+    ``pack_sequences`` / embedding lookups directly).  Out-of-vocabulary
+    terms are DROPPED (inner join) — pass a vocab built with
+    ``min_count=1`` for lossless encoding.  One explode + one shuffle-join
+    keyed on the term."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("pos", "term"),
+    ).where(F.col("term") != "")
+    return toks.join(vocab.select("term", "term_id"), "term").select(
+        "doc_id", F.col("pos").cast("long").alias("pos"), "term_id"
+    )
+
+
 def tf_idf_terms(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -70,3 +70,51 @@ def test_pack_sequences_long_doc_spans_many_chunks(spark):
     segs2 = [r for r in rows if r["doc_id"] == 2]
     assert len(segs2) == len({r["chunk_id"] for r in segs2})  # one row per chunk
     assert len(segs2) >= 1000 // S  # fans out proportionally, no more
+
+
+def test_build_vocab_and_encode_round_trip(spark):
+    from parallel_betweenness_centrality_using_bsp_spark.operators.features import (
+        build_vocab,
+        encode_docs,
+    )
+
+    rows = [
+        (0, "b a a c"),
+        (1, "a b b"),
+        (2, "c a d"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    vocab = {r["term"]: (r["term_id"], r["count"]) for r in build_vocab(docs).collect()}
+    # counts: a=4, b=3, c=2, d=1 -> ids by (count desc, term asc)
+    assert vocab == {"a": (0, 4), "b": (1, 3), "c": (2, 2), "d": (3, 1)}
+
+    enc = encode_docs(docs, build_vocab(docs)).collect()
+    got = {}
+    for r in enc:
+        got.setdefault(r["doc_id"], {})[r["pos"]] = r["term_id"]
+    for d, text in rows:
+        toks = text.split()
+        assert [got[d][p] for p in range(len(toks))] == [vocab[t][0] for t in toks]
+
+    # min_count / max_size prune; OOV terms are dropped by encode
+    small = build_vocab(docs, min_count=2)
+    assert {r["term"] for r in small.collect()} == {"a", "b", "c"}
+    enc2 = encode_docs(docs, small).collect()
+    assert all(r["term_id"] <= 2 for r in enc2)
+    assert len(enc2) == len(enc) - 1  # exactly the single 'd' dropped
+    top2 = build_vocab(docs, max_size=2)
+    assert {r["term"] for r in top2.collect()} == {"a", "b"}
+
+
+def test_vocab_ids_are_dense_and_deterministic(spark):
+    from parallel_betweenness_centrality_using_bsp_spark.operators.features import build_vocab
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{(i * j) % 97}" for j in range(1, 40))) for i in range(60)],
+        "doc_id long, text string",
+    )
+    a = sorted((r["term"], r["term_id"]) for r in build_vocab(docs).collect())
+    b = sorted((r["term"], r["term_id"]) for r in build_vocab(docs).collect())
+    assert a == b
+    ids = sorted(i for _, i in a)
+    assert ids == list(range(len(ids)))
