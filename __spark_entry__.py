@@ -1825,6 +1825,81 @@ ORDER BY h.vertex
     return "".join(parts)
 
 
+BORUVKA_ROUNDS = 2
+
+
+def graph_boruvka2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Borůvka minimum spanning forest, exactly 2 rounds on the
+    order-derived graph with the deterministic integral weights
+    w = (src+dst) % 7 + 1 (the sssp convention) — ORACLE-GATED round for
+    round: per-component minima break ties on the (w, src, dst) tuple, so
+    the DuckDB twin (row_number per component + recursive min-label merge)
+    reproduces the selected edge set exactly."""
+    from parallel_betweenness_centrality_using_bsp_spark.operators.mst import boruvka_forest
+
+    e = _order_edges(spark, sf_dir).select(
+        "src", "dst", ((F.col("src") + F.col("dst")) % 7 + 1).alias("w")
+    )
+    return boruvka_forest(spark, e, rounds=BORUVKA_ROUNDS).orderBy(
+        "round", "src", "dst"
+    )
+
+
+def _boruvka_sql() -> str:
+    parts = [
+        f"""WITH RECURSIVE {_EDGES_SQL},
+ew0 AS MATERIALIZED (
+  SELECT least(src, dst) AS src, greatest(src, dst) AS dst,
+         min((src + dst) %% 7 + 1)::BIGINT AS w
+  FROM edges GROUP BY 1, 2),
+l0 AS MATERIALIZED (
+  SELECT vertex, vertex AS comp FROM (
+    SELECT src AS vertex FROM ew0 UNION SELECT dst FROM ew0))""".replace("%%", "%")
+    ]
+    for r in range(1, BORUVKA_ROUNDS + 1):
+        p = r - 1
+        parts.append(
+            f""",
+ec{r} AS MATERIALIZED (
+  SELECT e.src, e.dst, e.w, lu.comp AS cu, lv.comp AS cv
+  FROM ew{p} e JOIN l{p} lu ON lu.vertex = e.src
+               JOIN l{p} lv ON lv.vertex = e.dst
+  WHERE lu.comp != lv.comp),
+sel{r} AS MATERIALIZED (
+  SELECT DISTINCT src, dst, w FROM (
+    SELECT comp, src, dst, w,
+           row_number() OVER (PARTITION BY comp ORDER BY w, src, dst) AS rn
+    FROM (SELECT cu AS comp, w, src, dst FROM ec{r}
+          UNION ALL SELECT cv, w, src, dst FROM ec{r}))
+  WHERE rn = 1),
+cgu{r} AS MATERIALIZED (
+  SELECT a, b FROM (
+    SELECT lu.comp AS a, lv.comp AS b FROM sel{r} s
+    JOIN l{p} lu ON lu.vertex = s.src JOIN l{p} lv ON lv.vertex = s.dst)
+  UNION
+  SELECT lv.comp, lu.comp FROM sel{r} s
+    JOIN l{p} lu ON lu.vertex = s.src JOIN l{p} lv ON lv.vertex = s.dst),
+reach{r}(c, lab) AS (
+  SELECT a, a FROM cgu{r}
+  UNION
+  SELECT u.b, rr.lab FROM reach{r} rr JOIN cgu{r} u ON u.a = rr.c),
+m{r} AS MATERIALIZED (SELECT c, min(lab) AS newcomp FROM reach{r} GROUP BY c),
+l{r} AS MATERIALIZED (
+  SELECT l.vertex, coalesce(m.newcomp, l.comp) AS comp
+  FROM l{p} l LEFT JOIN m{r} m ON m.c = l.comp),
+ew{r} AS MATERIALIZED (
+  SELECT e.src, e.dst, e.w FROM ec{r} e
+  WHERE NOT EXISTS (SELECT 1 FROM sel{r} s
+                    WHERE s.src = e.src AND s.dst = e.dst))"""
+        )
+    tails = [
+        f"SELECT src, dst, w, {r} AS round FROM sel{r}"
+        for r in range(1, BORUVKA_ROUNDS + 1)
+    ]
+    parts.append("\n" + "\nUNION ALL ".join(tails) + "\nORDER BY round, src, dst")
+    return "".join(parts)
+
+
 SALSA_ITERS = 3
 
 
@@ -3406,6 +3481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_sssp": graph_sssp,
         "graph_hits3": graph_hits3,
         "graph_salsa3": graph_salsa3,
+        "graph_boruvka2": graph_boruvka2,
         "graph_adamic_adar": graph_adamic_adar,
         "graph_clustering": graph_clustering,
         "graph_scc": graph_scc,
@@ -3947,6 +4023,7 @@ ORDER BY n_hits DESC, doc_id LIMIT 50
         "graph_egonet2": _egonet2_sql(),
         "graph_hits3": _hits3_sql(),
         "graph_salsa3": _salsa3_sql(),
+        "graph_boruvka2": _boruvka_sql(),
         "graph_adamic_adar": _adamic_adar_sql(),
         "graph_clustering": _clustering_sql(),
         "graph_scc": _scc_sql(),

@@ -33,7 +33,7 @@ def build_parser() -> argparse.ArgumentParser:
                              "betweenness", "betweenness-bsp", "derive-edges",
                              "sssp", "kcore", "coreness", "wl", "walks", "hits", "salsa",
                              "betweenness-weighted", "louvain",
-                             "katz", "node2vec", "egonet"])
+                             "katz", "node2vec", "egonet", "msf"])
     src = ap.add_mutually_exclusive_group(required=True)
     src.add_argument("--edges", help="parquet path of (src,dst) edge table")
     src.add_argument("--repo-files", help="parquet path of repo_files table")
@@ -234,6 +234,15 @@ def main(argv: list[str] | None = None) -> None:
         run = salsa(spark, e, tol=args.tol, max_supersteps=args.max_supersteps,
                     bucket_state=args.bucket_state, **common)
         out = run.state
+    elif args.algo == "msf":
+        from pyspark.sql import functions as F
+
+        from parallel_betweenness_centrality_using_bsp_spark.operators.mst import boruvka_forest
+
+        we = e if "w" in e.columns else e.select(
+            "src", "dst", ((F.col("src") + F.col("dst")) % 7 + 1).alias("w")
+        )
+        out = boruvka_forest(spark, we)
     elif args.algo == "katz":
         from parallel_betweenness_centrality_using_bsp_spark.operators.pagerank import katz
 
