@@ -1825,6 +1825,34 @@ ORDER BY h.vertex
     return "".join(parts)
 
 
+def graph_motif_open2path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GraphFrames-style motif query over the order graph: the top-20
+    vertices starting the most OPEN directed 2-paths
+    ('(a)-[]->(b); (b)-[]->(c); !(a)-[]->(c)' — the negated term compiles
+    to a left_anti join); deterministic (count DESC, a ASC) top-k."""
+    from parallel_betweenness_centrality_using_bsp_spark.plans.motifs import find
+
+    e = _order_edges(spark, sf_dir)
+    m = find(e, "(a)-[]->(b); (b)-[]->(c); !(a)-[]->(c)")
+    return (
+        m.groupBy("a")
+        .agg(F.count(F.lit(1)).alias("n_open"))
+        .orderBy(F.desc("n_open"), "a")
+        .limit(20)
+    )
+
+
+_MOTIF_SQL = """
+    WITH {edges}
+    SELECT e1.src AS a, count(*)::BIGINT AS n_open
+    FROM edges e1 JOIN edges e2 ON e2.src = e1.dst
+    WHERE NOT EXISTS (SELECT 1 FROM edges e3
+                      WHERE e3.src = e1.src AND e3.dst = e2.dst)
+    GROUP BY e1.src
+    ORDER BY n_open DESC, a LIMIT 20
+"""
+
+
 BORUVKA_ROUNDS = 2
 
 
@@ -3482,6 +3510,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_hits3": graph_hits3,
         "graph_salsa3": graph_salsa3,
         "graph_boruvka2": graph_boruvka2,
+        "graph_motif_open2path": graph_motif_open2path,
         "graph_adamic_adar": graph_adamic_adar,
         "graph_clustering": graph_clustering,
         "graph_scc": graph_scc,
@@ -4024,6 +4053,7 @@ ORDER BY n_hits DESC, doc_id LIMIT 50
         "graph_hits3": _hits3_sql(),
         "graph_salsa3": _salsa3_sql(),
         "graph_boruvka2": _boruvka_sql(),
+        "graph_motif_open2path": _MOTIF_SQL.format(edges=_EDGES_SQL),
         "graph_adamic_adar": _adamic_adar_sql(),
         "graph_clustering": _clustering_sql(),
         "graph_scc": _scc_sql(),
