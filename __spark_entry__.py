@@ -1405,6 +1405,31 @@ def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("walk_id", "pos")
 
 
+def graph_skipgram_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram pair extraction over the deterministic walk corpus
+    (window ±2): the top-30 (center, context) co-occurrence pairs — the
+    DeepWalk → word2vec training-pair bridge; the twin re-derives the
+    identical corpus and self-joins it."""
+    from parallel_betweenness_centrality_using_bsp_spark.operators.walks import (
+        random_walks,
+        skipgram_pairs,
+    )
+
+    e = _order_edges(spark, sf_dir)
+    verts = (
+        e.select(F.col("src").alias("vertex"))
+        .unionByName(e.select(F.col("dst").alias("vertex")))
+        .distinct()
+    )
+    starts = verts.where(F.col("vertex") < WALK_START_CAP)
+    corpus = random_walks(spark, e, starts, walk_length=WALK_LEN, salt_buckets=8)
+    return (
+        skipgram_pairs(corpus, window=SKIPGRAM_WINDOW)
+        .orderBy(F.desc("n"), "center", "context")
+        .limit(SKIPGRAM_TOPK)
+    )
+
+
 def graph_node2vec3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """node2vec biased walks (p=4, q=2): 3 second-order steps from every
     vertex < 30.  The bias weights are the exact integers {q, p·q, p}
@@ -1425,7 +1450,10 @@ def graph_node2vec3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _random_walks_sql() -> str:
+def _walks_corpus_parts() -> tuple[list[str], str]:
+    """Shared scaffolding: the walk-corpus CTEs (identical md5 picks to
+    operators/walks.py) and the corpus union subquery — used by the walks
+    gate and the skip-gram gate."""
     md5i = (
         "(('0x' || substr(md5(s.walk_id::VARCHAR || ':' || '{k}'), 1, 15))::BIGINT"
         " % d.deg)"
@@ -1453,7 +1481,29 @@ def _random_walks_sql() -> str:
         f"SELECT walk_id, {k} AS pos, v AS vertex FROM w{k}"
         for k in range(WALK_LEN + 1)
     )
+    return parts, union
+
+
+def _random_walks_sql() -> str:
+    parts, union = _walks_corpus_parts()
     parts.append(f"SELECT * FROM ({union}) ORDER BY walk_id, pos")
+    return "".join(parts)
+
+
+SKIPGRAM_WINDOW = 2
+SKIPGRAM_TOPK = 30
+
+
+def _skipgram_sql() -> str:
+    parts, union = _walks_corpus_parts()
+    parts.append(
+        f""",
+  corpus AS MATERIALIZED ({union})
+SELECT a.vertex AS center, b.vertex AS context, count(*)::BIGINT AS n
+FROM corpus a JOIN corpus b ON b.walk_id = a.walk_id
+WHERE b.pos != a.pos AND abs(b.pos - a.pos) <= {SKIPGRAM_WINDOW}
+GROUP BY 1, 2 ORDER BY n DESC, center, context LIMIT {SKIPGRAM_TOPK}"""
+    )
     return "".join(parts)
 
 
@@ -3525,6 +3575,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_neighbor_features": graph_neighbor_features,
         "graph_neighbor_features_2hop": graph_neighbor_features_2hop,
         "graph_random_walks": graph_random_walks,
+        "graph_skipgram_top": graph_skipgram_top,
         "graph_node2vec3": graph_node2vec3,
         "graph_egonet2": graph_egonet2,
         "dedup_kept_count": dedup_kept_count,
@@ -4048,6 +4099,7 @@ ORDER BY n_hits DESC, doc_id LIMIT 50
             FROM h2 ORDER BY vertex, pos
         """,
         "graph_random_walks": _random_walks_sql(),
+        "graph_skipgram_top": _skipgram_sql(),
         "graph_node2vec3": _node2vec3_sql(),
         "graph_egonet2": _egonet2_sql(),
         "graph_hits3": _hits3_sql(),

@@ -375,3 +375,32 @@ def node2vec_walks(
         run_id=run_id,
     )
     return corpus
+
+
+def skipgram_pairs(corpus: DataFrame, window: int = 2) -> DataFrame:
+    """(center long, context long, n long): skip-gram co-occurrence counts
+    over a walk corpus (walk_id, pos, vertex) — the DeepWalk/node2vec →
+    word2vec training-pair extraction (Perozzi et al. 2014 §4.2): every
+    ordered pair of vertices at distance 1..window within the same walk,
+    aggregated corpus-wide.
+
+    One self-join keyed on walk_id (balanced — every walk contributes
+    O(L·window) pairs regardless of vertex degree, so a hub inflates no
+    single task) + one map-side-combined hash aggregation keyed on the
+    pair.  Feeds negative-sampling embedding trainers directly; the pair
+    counts are exact LONGs, so the op is gate-able bit-for-bit."""
+    a = corpus.select(
+        "walk_id", F.col("pos").alias("_pc"), F.col("vertex").alias("center")
+    )
+    b = corpus.select(
+        "walk_id", F.col("pos").alias("_px"), F.col("vertex").alias("context")
+    )
+    return (
+        a.join(b, "walk_id")
+        .where(
+            (F.col("_px") != F.col("_pc"))
+            & (F.abs(F.col("_px") - F.col("_pc")) <= window)
+        )
+        .groupBy("center", "context")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -167,3 +167,21 @@ def test_node2vec_p1q1_equals_deepwalk(spark):
         for r in random_walks(spark, df, st, walk_length=4).collect()
     }
     assert a == b
+
+
+def test_skipgram_pairs_hand_count(spark):
+    from parallel_betweenness_centrality_using_bsp_spark.operators.walks import skipgram_pairs
+
+    corpus = spark.createDataFrame(
+        [(0, 0, 10), (0, 1, 11), (0, 2, 12), (0, 3, 10), (1, 0, 20), (1, 1, 21)],
+        "walk_id long, pos long, vertex long",
+    )
+    got = {(r["center"], r["context"]): r["n"] for r in skipgram_pairs(corpus, 2).collect()}
+    want = {}
+    walks = {0: [10, 11, 12, 10], 1: [20, 21]}
+    for seq in walks.values():
+        for i, c in enumerate(seq):
+            for j, x in enumerate(seq):
+                if i != j and abs(i - j) <= 2:
+                    want[(c, x)] = want.get((c, x), 0) + 1
+    assert got == want
