@@ -1176,6 +1176,71 @@ def graph_pagerank5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run.state.select("vertex", F.round("pr", 6).alias("pr")).orderBy("vertex")
 
 
+def graph_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between undirected degree and 5-iteration
+    PageRank — "does PageRank just recover degree here?", the standard
+    sanity analytic on a new link graph.  Ranks are tie-broken total
+    orders ((6dp score DESC, vertex ASC)) built with the two-phase global
+    ranking (no single-partition window), so Σd² is an exact LONG and the
+    only float is the final coefficient — engine-portable at 6dp."""
+    from parallel_betweenness_centrality_using_bsp_spark.operators.edges import (
+        densify_vertices,
+        symmetrize,
+    )
+    from parallel_betweenness_centrality_using_bsp_spark.operators.pagerank import pagerank
+
+    e = _order_edges(spark, sf_dir)
+    pr = pagerank(spark, e, tol=0.0, max_supersteps=5).state.select(
+        "vertex",
+        (-F.round(F.round("pr", 6) * 1e6)).cast("long").alias("_negmicro"),
+    )
+    rp = densify_vertices(pr, ["_negmicro", "vertex"], id_col="rp").select(
+        "vertex", "rp"
+    )
+    deg = (
+        symmetrize(e)
+        .groupBy(F.col("src").alias("vertex"))
+        .agg((-F.count(F.lit(1))).alias("_negdeg"))
+    )
+    rd = densify_vertices(deg, ["_negdeg", "vertex"], id_col="rd").select(
+        "vertex", "rd"
+    )
+    d2 = (F.col("rp") - F.col("rd")) * (F.col("rp") - F.col("rd"))
+    return rp.join(rd, "vertex").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(d2).alias("sum_d2"),
+        F.round(
+            F.lit(1.0)
+            - F.lit(6.0)
+            * F.sum(d2)
+            / (F.count(F.lit(1)) * (F.count(F.lit(1)).cast("double") * F.count(F.lit(1)) - 1)),
+            6,
+        ).alias("spearman"),
+    )
+
+
+def _spearman_sql() -> str:
+    base = _pagerank5_sql()
+    tail = "SELECT vertex, round(pr, 6) AS pr FROM pr5 ORDER BY vertex"
+    assert base.endswith(tail)
+    return (
+        base[: -len(tail)]
+        + """,
+  prr AS (SELECT vertex, round(pr, 6) AS pr FROM pr5),
+  degt AS (SELECT src AS vertex, count(*)::BIGINT AS deg FROM und GROUP BY src),
+  rp AS (SELECT vertex, (row_number() OVER (ORDER BY pr DESC, vertex) - 1)::BIGINT AS r
+         FROM prr),
+  rd AS (SELECT vertex, (row_number() OVER (ORDER BY deg DESC, vertex) - 1)::BIGINT AS r
+         FROM degt)
+SELECT count(*)::BIGINT AS n,
+       sum((rp.r - rd.r) * (rp.r - rd.r))::BIGINT AS sum_d2,
+       round(1.0 - 6.0 * sum((rp.r - rd.r) * (rp.r - rd.r))
+             / (count(*) * (count(*)::DOUBLE * count(*) - 1)), 6) AS spearman
+FROM rp JOIN rd ON rd.vertex = rp.vertex
+"""
+    )
+
+
 def graph_pagerank5_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WEIGHTED PageRank, 5 fixed iterations: out-edge shares are
     pr·w/Σ_out w with deterministic integral weights w=(src+dst)%7+1 —
@@ -1873,6 +1938,48 @@ ORDER BY h.vertex
 """
     )
     return "".join(parts)
+
+
+FUNNEL_STAGES = ["view", "click", "purchase"]
+
+
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-stage funnel over the events stream: users completing
+    view → click → purchase in order (each stage strictly after the
+    earliest completion of the previous one) — one user-keyed join + min
+    aggregation per stage."""
+    from parallel_betweenness_centrality_using_bsp_spark.operators.funnel import funnel
+
+    e = _t(spark, sf_dir, "events")
+    return funnel(e, FUNNEL_STAGES).orderBy("stage")
+
+
+def _funnel_sql() -> str:
+    parts = []
+    for i, s in enumerate(FUNNEL_STAGES, start=1):
+        if i == 1:
+            parts.append(
+                f"s1 AS (SELECT user_id, min(ts) AS t FROM events"
+                f" WHERE event_type = '{s}' GROUP BY user_id)"
+            )
+        else:
+            parts.append(
+                f"""s{i} AS (SELECT e.user_id, min(e.ts) AS t
+  FROM events e JOIN s{i - 1} p ON p.user_id = e.user_id
+  WHERE e.event_type = '{s}' AND e.ts > p.t GROUP BY e.user_id)"""
+            )
+    tails = [
+        f"SELECT {i} AS stage, '{s}' AS event_type,"
+        f" (SELECT count(*) FROM s{i})::BIGINT AS users"
+        for i, s in enumerate(FUNNEL_STAGES, start=1)
+    ]
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + "\n"
+        + "\nUNION ALL ".join(tails)
+        + "\nORDER BY stage"
+    )
 
 
 def graph_motif_open2path(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3561,6 +3668,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_salsa3": graph_salsa3,
         "graph_boruvka2": graph_boruvka2,
         "graph_motif_open2path": graph_motif_open2path,
+        "events_funnel": events_funnel,
+        "graph_rank_correlation": graph_rank_correlation,
         "graph_adamic_adar": graph_adamic_adar,
         "graph_clustering": graph_clustering,
         "graph_scc": graph_scc,
@@ -4106,6 +4215,8 @@ ORDER BY n_hits DESC, doc_id LIMIT 50
         "graph_salsa3": _salsa3_sql(),
         "graph_boruvka2": _boruvka_sql(),
         "graph_motif_open2path": _MOTIF_SQL.format(edges=_EDGES_SQL),
+        "events_funnel": _funnel_sql(),
+        "graph_rank_correlation": _spearman_sql(),
         "graph_adamic_adar": _adamic_adar_sql(),
         "graph_clustering": _clustering_sql(),
         "graph_scc": _scc_sql(),
