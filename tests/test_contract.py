@@ -56,6 +56,19 @@ SUBSET = [
     "graph_harmonic",
     "graph_eccentricity",
     "dedup_kept_count",
+    # this session's additions
+    "graph_coreness3",
+    "graph_matching3",
+    "graph_wl3",
+    "graph_salsa3",
+    "graph_profile_summary",
+    "graph_motif_open2path",
+    "graph_boruvka2",
+    "graph_rank_correlation",
+    "training_mix_by_lang",
+    "doc_pack_sequences",
+    "doc_encoded_sample",
+    "events_funnel",
 ]
 
 
