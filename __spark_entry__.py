@@ -3583,6 +3583,37 @@ SELECT count(*)::BIGINT AS n_communities, round(sum(q), 6) AS modularity FROM pe
 """
 
 
+def graph_conductance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-community conductance of the 3-round LPA communities —
+    φ(C) = cut/min(vol, 2m−vol); volume and cut exact LONGs, φ the only
+    float (NULL for a whole-graph community).  The twin extends the
+    unrolled lp3 CTEs with the identical aggregation."""
+    from parallel_betweenness_centrality_using_bsp_spark.operators.labelprop import (
+        conductance,
+        label_propagation,
+    )
+
+    e = _order_edges(spark, sf_dir)
+    labels = label_propagation(spark, e, max_supersteps=3).state
+    return conductance(spark, e, labels).orderBy("community")
+
+
+def _conductance_sql() -> str:
+    return _labelprop3_ctes() + """,
+  j AS (SELECT u.src, u.dst, a.label AS la, b.label AS lb
+        FROM und u JOIN lp3 a ON a.vertex = u.src JOIN lp3 b ON b.vertex = u.dst),
+  m2 AS (SELECT count(*)::BIGINT AS m2 FROM j),
+  per AS (SELECT la AS community, count(*)::BIGINT AS volume,
+                 sum(CASE WHEN la != lb THEN 1 ELSE 0 END)::BIGINT AS cut
+          FROM j GROUP BY la)
+SELECT community, volume, cut,
+       CASE WHEN least(volume, (SELECT m2 FROM m2) - volume) > 0
+            THEN round(cut / least(volume, (SELECT m2 FROM m2) - volume), 6)
+       END AS conductance
+FROM per ORDER BY community
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # relational support operators
@@ -3647,6 +3678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_labelprop3": graph_labelprop3,
         "graph_labelprop3_weighted": graph_labelprop3_weighted,
         "graph_modularity": graph_modularity,
+        "graph_conductance": graph_conductance,
         "graph_community_centroids": graph_community_centroids,
         "graph_betweenness": graph_betweenness,
         "graph_betweenness_weighted": graph_betweenness_weighted,
@@ -4122,6 +4154,7 @@ ORDER BY n_hits DESC, doc_id LIMIT 50
         "graph_labelprop3": _labelprop3_sql(),
         "graph_labelprop3_weighted": _labelprop3_weighted_sql(),
         "graph_modularity": _modularity_sql(),
+        "graph_conductance": _conductance_sql(),
         "graph_community_centroids": _community_centroids_sql(),
         "graph_betweenness": _betweenness_sql(),
         "graph_edge_betweenness": _edge_betweenness_sql(),

@@ -319,3 +319,35 @@ def modularity(spark: SparkSession, edges: DataFrame, labels: DataFrame,
         F.count(F.lit(1)).alias("n_communities"),
         F.sum("q").alias("modularity"),
     )
+
+
+def conductance(spark: SparkSession, edges: DataFrame, labels: DataFrame,
+                label_col: str = "label") -> DataFrame:
+    """(community, volume, cut, conductance): per-community conductance
+    φ(C) = cut(C) / min(vol(C), 2m − vol(C)) — the standard community-
+    QUALITY diagnostic (low φ = well-separated; the quantity NCP plots
+    and seed-set expansion methods optimize).  Counts over the symmetrized
+    edge set: vol(C) = degree mass of C, cut(C) = rows with exactly one
+    endpoint in C.
+
+    Same plan shape as ``modularity``: two label joins + community-keyed
+    hash aggs with map-side combine; 2m rides in-plan as a broadcast
+    1-row aggregate.  volume and cut stay exact LONGs; φ is the only
+    float (communities spanning the whole graph get φ = NULL — min(vol,
+    2m−vol) = 0 has no defined boundary)."""
+    und = symmetrize(edges).localCheckpoint(eager=True)
+    la = labels.select(F.col("vertex").alias("src"), F.col(label_col).alias("la"))
+    lb = labels.select(F.col("vertex").alias("dst"), F.col(label_col).alias("lb"))
+    j = und.join(la, "src").join(lb, "dst").localCheckpoint(eager=True)
+    m2 = j.agg(F.count(F.lit(1)).alias("m2"))
+    per = j.groupBy(F.col("la").alias("community")).agg(
+        F.count(F.lit(1)).alias("volume"),
+        F.sum((F.col("la") != F.col("lb")).cast("long")).alias("cut"),
+    )
+    denom = F.least(F.col("volume"), F.col("m2") - F.col("volume"))
+    return per.join(F.broadcast(m2)).select(
+        "community",
+        "volume",
+        "cut",
+        F.when(denom > 0, F.round(F.col("cut") / denom, 6)).alias("conductance"),
+    )

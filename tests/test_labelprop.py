@@ -192,3 +192,38 @@ def test_weighted_louvain_heavy_edge_pulls_vertex(spark):
     # weighted: 2 and 3 end in the same community; unweighted they don't
     assert w[2] == w[3]
     assert uw[2] != uw[3]
+
+
+def test_conductance_matches_networkx(spark):
+    import networkx as nx
+
+    from parallel_betweenness_centrality_using_bsp_spark.operators.labelprop import conductance
+    from tests.oracles import ba_graph
+
+    edges = ba_graph(n=60, m=3, seed=43)
+    g = nx.Graph(edges)
+    # a fixed 3-way partition by vertex id
+    labels = [(v, v % 3) for v in g.nodes()]
+    ldf = spark.createDataFrame(labels, "vertex long, label long")
+    got = {
+        r["community"]: (r["volume"], r["cut"], r["conductance"])
+        for r in conductance(spark, edge_df(spark, edges), ldf).collect()
+    }
+    for c in (0, 1, 2):
+        S = {v for v, l in labels if l == c}
+        vol = sum(g.degree(v) for v in S)
+        cut = nx.cut_size(g, S)
+        want_phi = cut / min(vol, 2 * g.number_of_edges() - vol)
+        gv, gc, gphi = got[c]
+        assert (gv, gc) == (vol, cut)
+        assert abs(gphi - want_phi) < 1e-6
+        assert abs(gphi - nx.conductance(g, S)) < 1e-6
+
+
+def test_conductance_whole_graph_community_is_null(spark):
+    from parallel_betweenness_centrality_using_bsp_spark.operators.labelprop import conductance
+
+    edges = [(0, 1), (1, 2)]
+    ldf = spark.createDataFrame([(v, 7) for v in range(3)], "vertex long, label long")
+    rows = conductance(spark, edge_df(spark, edges), ldf).collect()
+    assert len(rows) == 1 and rows[0]["cut"] == 0 and rows[0]["conductance"] is None
