@@ -1784,6 +1784,32 @@ def graph_profile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph_profile(spark, e)
 
 
+def graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(deg, n_vertices): the undirected degree distribution — the first
+    plot anyone makes on a new link graph (and the input the profile's
+    power-law α summarizes); one degree aggregation + one histogram
+    aggregation, both map-side combined."""
+    from parallel_betweenness_centrality_using_bsp_spark.operators.edges import symmetrize
+
+    e = _order_edges(spark, sf_dir)
+    return (
+        symmetrize(e)
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .groupBy("deg")
+        .agg(F.count(F.lit(1)).alias("n_vertices"))
+        .orderBy("deg")
+    )
+
+
+_DEGREE_HISTOGRAM_SQL = """
+    WITH {edges}
+    SELECT deg, count(*)::BIGINT AS n_vertices FROM (
+      SELECT src, count(*)::BIGINT AS deg FROM und GROUP BY src)
+    GROUP BY deg ORDER BY deg
+"""
+
+
 def _graph_profile_sql() -> str:
     return f"""
         WITH {_EDGES_SQL},
@@ -3712,6 +3738,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_coreness3": graph_coreness3,
         "graph_wl3": graph_wl3,
         "graph_profile_summary": graph_profile_summary,
+        "graph_degree_histogram": graph_degree_histogram,
         "graph_ktruss": graph_ktruss,
         "graph_neighbor_features": graph_neighbor_features,
         "graph_neighbor_features_2hop": graph_neighbor_features_2hop,
@@ -4185,6 +4212,7 @@ ORDER BY n_hits DESC, doc_id LIMIT 50
         "graph_coreness3": _coreness_sql(),
         "graph_wl3": _wl_sql(),
         "graph_profile_summary": _graph_profile_sql(),
+        "graph_degree_histogram": _DEGREE_HISTOGRAM_SQL.format(edges=_EDGES_SQL),
         "graph_ktruss": _ktruss_sql(),
         "graph_diameter_sweep": _diameter_sweep_sql(),
         "graph_eccentricity": f"""
