@@ -1966,6 +1966,47 @@ ORDER BY h.vertex
     return "".join(parts)
 
 
+HOT_VERTEX_THRESHOLD = 3
+
+
+def events_hot_vertices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming hot-vertex detector (streaming/graph.py) run in batch
+    mode over a timestamped edge stream derived from events (user →
+    event-bucket edges): per-hour-window undirected degree ≥ threshold —
+    identical logic feeds the watermarked readStream path (batch/stream
+    parity pytest-checked with exactly-once re-run semantics)."""
+    from parallel_betweenness_centrality_using_bsp_spark.streaming.graph import hot_vertices
+
+    ev = _t(spark, sf_dir, "events")
+    edges = ev.select(
+        F.col("user_id").alias("src"),
+        (F.col("event_id") % GRAPH_MOD).alias("dst"),
+        "ts",
+    )
+    out = hot_vertices(edges, HOT_VERTEX_THRESHOLD, "1 hour")
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm").alias("win_start"),
+        "vertex",
+        "degree",
+    ).orderBy("win_start", "vertex")
+
+
+def _hot_vertices_sql() -> str:
+    return f"""
+        WITH be AS (
+          SELECT user_id::BIGINT AS vertex, ts FROM events
+          UNION ALL
+          SELECT (event_id % {GRAPH_MOD})::BIGINT AS vertex, ts FROM events),
+        d AS (SELECT strftime(time_bucket(INTERVAL '1 hour', ts),
+                              '%Y-%m-%d %H:%M') AS win_start,
+                     vertex, count(*)::BIGINT AS degree
+              FROM be GROUP BY 1, 2)
+        SELECT win_start, vertex, degree FROM d
+        WHERE degree >= {HOT_VERTEX_THRESHOLD}
+        ORDER BY win_start, vertex
+    """
+
+
 FUNNEL_STAGES = ["view", "click", "purchase"]
 
 
@@ -3727,6 +3768,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_boruvka2": graph_boruvka2,
         "graph_motif_open2path": graph_motif_open2path,
         "events_funnel": events_funnel,
+        "events_hot_vertices": events_hot_vertices,
         "graph_rank_correlation": graph_rank_correlation,
         "graph_adamic_adar": graph_adamic_adar,
         "graph_clustering": graph_clustering,
@@ -4277,6 +4319,7 @@ ORDER BY n_hits DESC, doc_id LIMIT 50
         "graph_boruvka2": _boruvka_sql(),
         "graph_motif_open2path": _MOTIF_SQL.format(edges=_EDGES_SQL),
         "events_funnel": _funnel_sql(),
+        "events_hot_vertices": _hot_vertices_sql(),
         "graph_rank_correlation": _spearman_sql(),
         "graph_adamic_adar": _adamic_adar_sql(),
         "graph_clustering": _clustering_sql(),

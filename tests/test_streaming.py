@@ -361,3 +361,64 @@ def test_stream_curation_matches_batch_pipeline(spark, tmp_path):
     q.awaitTermination()
     got = sorted(r["doc_id"] for r in spark.sql("SELECT doc_id FROM curation_out").collect())
     assert got == want
+
+
+def _edge_rows():
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    # hour 0: vertex 7 is hot (appears in 5 edges); hour 2 closes hour-0's
+    # window under a 1-hour watermark
+    for i in range(5):
+        rows.append((7, 100 + i, base + dt.timedelta(minutes=5 * i)))
+    rows.append((1, 2, base + dt.timedelta(minutes=30)))
+    rows.append((3, 7, base + dt.timedelta(hours=2, minutes=5)))
+    return rows
+
+
+def test_batch_windowed_degrees_and_hot_vertices(spark):
+    from parallel_betweenness_centrality_using_bsp_spark.streaming.graph import (
+        hot_vertices,
+        windowed_degrees,
+    )
+
+    df = spark.createDataFrame(_edge_rows(), "src long, dst long, ts timestamp")
+    got = {
+        (r["window_start"].hour, r["vertex"]): r["degree"]
+        for r in windowed_degrees(df, "1 hour").collect()
+    }
+    assert got[(0, 7)] == 5  # both-endpoint convention
+    assert got[(0, 1)] == 1 and got[(0, 2)] == 1
+    assert got[(2, 7)] == 1
+    hot = {(r["window_start"].hour, r["vertex"]) for r in hot_vertices(df, 3, "1 hour").collect()}
+    assert hot == {(0, 7)}
+
+
+def test_stream_hot_vertices_matches_batch(spark, tmp_path):
+    from parallel_betweenness_centrality_using_bsp_spark.streaming.graph import (
+        hot_vertices,
+        run_hot_vertices_once,
+    )
+
+    src, sink, ckpt = (str(tmp_path / d) for d in ("src", "sink", "ckpt"))
+    df = spark.createDataFrame(_edge_rows(), "src long, dst long, ts timestamp")
+    df.write.parquet(src)
+
+    run_hot_vertices_once(spark, src, sink, ckpt, threshold=3, window="1 hour")
+    got = {
+        (r["window_start"], r["vertex"]): r["degree"]
+        for r in spark.read.parquet(sink).collect()
+    }
+    want = {
+        (r["window_start"], r["vertex"]): r["degree"]
+        for r in hot_vertices(df, 3, "1 hour").collect()
+    }
+    # append mode emits watermark-closed windows; the hour-2 edge closes
+    # hour 0, so the hot row IS emitted and matches the batch twin
+    assert got and all(want[k] == v for k, v in got.items())
+    assert (next(iter(got))[0].hour, next(iter(got))[0].minute) == (0, 0)
+
+    # exactly-once on re-run with no new input
+    run_hot_vertices_once(spark, src, sink, ckpt, threshold=3, window="1 hour")
+    assert spark.read.parquet(sink).count() == len(got)
