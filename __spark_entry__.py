@@ -1070,7 +1070,8 @@ def _kmeans_sql() -> str:
 ex AS (SELECT vec_id, g.i AS pos, v[g.i]::DOUBLE AS val
        FROM f CROSS JOIN generate_series(1, 64) AS g(i)),
 c1 AS (SELECT vec_id AS cid, pos, round(val, 6) AS cval
-       FROM ex WHERE vec_id < {KMEANS_K})"""
+       FROM ex WHERE vec_id IN (
+           SELECT DISTINCT vec_id FROM ex ORDER BY vec_id LIMIT {KMEANS_K}))"""
     ]
     for r in range(1, KMEANS_ROUNDS + 1):
         parts.append(

@@ -44,7 +44,10 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from parallel_betweenness_centrality_using_bsp_spark.operators.betweenness import BetweennessResult
+from parallel_betweenness_centrality_using_bsp_spark.operators.betweenness import (
+    BetweennessResult,
+    _source_batches,
+)
 
 
 def _prepare_weighted_edges(
@@ -93,11 +96,20 @@ def betweenness_weighted(
     """
     t0 = time.monotonic()
     p = num_partitions or spark.sparkContext.defaultParallelism
-    if weighted_edges.where(F.col("w") <= 0).limit(1).count():
+    # Validate on the POST-CAST value: a fractional weight in (0, 1) passes a
+    # raw `w <= 0` check but truncates to 0 under the long cast below,
+    # recreating exactly the zero-weight cycle case this guard exists to
+    # reject.  Non-integral weights are rejected outright (integral weights
+    # are what keeps dist/sigma arithmetic bit-exact across engines).
+    _w = F.col("w")
+    bad = weighted_edges.where(
+        (_w.cast("long") <= 0) | (_w.cast("double") != _w.cast("long").cast("double"))
+    )
+    if bad.limit(1).count():
         raise ValueError(
-            "betweenness_weighted requires strictly positive edge weights "
-            "(w <= 0 found) — zero-weight edges make shortest-path hop "
-            "structure cyclic"
+            "betweenness_weighted requires strictly positive INTEGRAL edge "
+            "weights (w <= 0 or non-integral w found) — zero or fractional "
+            "weights would corrupt shortest-path hop structure"
         )
     e = _prepare_weighted_edges(spark, weighted_edges, directed, p)
     e.count()
@@ -108,15 +120,16 @@ def betweenness_weighted(
         .persist()
     )
 
-    if sources is None:
-        sources = [int(r["vertex"]) for r in vertices.select("vertex").collect()]
-
     total_steps = 0
     total_edges_traversed = 0
+    n_sources = 0
     bc_acc: DataFrame | None = None
 
-    for i in range(0, len(sources), batch_size):
-        batch = [int(s) for s in sources[i : i + batch_size]]
+    # Default all-sources mode streams vertex-id batches via toLocalIterator
+    # (the driver holds one batch, never the id universe) — same discipline
+    # as the unweighted betweenness_bsp.
+    for batch in _source_batches(vertices, sources, batch_size):
+        n_sources += len(batch)
         src_df = spark.createDataFrame([(s,) for s in batch], "source long")
 
         # ---- phase 1: weighted distances (frontier Bellman–Ford) --------
@@ -311,7 +324,7 @@ def betweenness_weighted(
 
     scale = 1.0 if directed else 0.5
     if estimate:
-        scale *= vertices.count() / max(len(sources), 1)
+        scale *= vertices.count() / max(n_sources, 1)
     bc = vertices.join(bc_acc, "vertex", "left").select(
         "vertex",
         (F.coalesce(F.col("bc"), F.lit(0.0)) * F.lit(scale)).alias("bc"),

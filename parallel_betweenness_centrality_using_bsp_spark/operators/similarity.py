@@ -455,7 +455,19 @@ def kmeans_rounds(
         .repartition(p, "vec_id")
         .localCheckpoint(eager=True)  # reused every round: explode once
     )
-    cent = ex.where(F.col("vec_id") < k).select(
+    # Seed centroids from the k SMALLEST actual ids (not `id < k`, which
+    # silently under-seeds on 1-based/sparse id spaces).  The id relation is
+    # distinct-then-limit — TakeOrderedAndProject, never a full sort — and at
+    # most k ids ever touch the driver.
+    seed_ids = [
+        r[0]
+        for r in ex.select("vec_id").distinct().orderBy("vec_id").limit(k).collect()
+    ]
+    if len(seed_ids) < k:
+        raise ValueError(
+            f"kmeans_rounds: k={k} but only {len(seed_ids)} distinct vectors"
+        )
+    cent = ex.where(F.col("vec_id").isin(seed_ids)).select(
         F.col("vec_id").alias("cid"), "pos", F.round("val", 6).alias("cval")
     )
     asg = None

@@ -81,11 +81,17 @@ def find(edges: DataFrame, motif: str) -> DataFrame:
     for neg, a, b in terms:
         if neg:
             continue
-        step = e.select(F.col("src").alias(a), F.col("dst").alias(b))
+        if a == b:
+            # self-referential term '(a)-[]->(a)': a self-loop binding —
+            # compile as a src==dst filter on ONE aliased column, never two
+            # columns under the same name
+            step = e.where(F.col("src") == F.col("dst")).select(F.col("src").alias(a))
+        else:
+            step = e.select(F.col("src").alias(a), F.col("dst").alias(b))
         if out is None:
             out = step
         else:
-            keys = [v for v in (a, b) if v in bound]
+            keys = [v for v in {a, b} if v in bound]
             out = out.join(step, keys) if keys else out.crossJoin(step)
         for v in (a, b):
             if v not in bound:
@@ -94,14 +100,20 @@ def find(edges: DataFrame, motif: str) -> DataFrame:
     for neg, a, b in terms:
         if not neg:
             continue
-        missing = [v for v in (a, b) if v not in bound]
+        missing = [v for v in {a, b} if v not in bound]
         if missing:
             raise ValueError(
                 f"negated term references unbound vertex name(s) {missing}"
             )
-        out = out.join(
-            e.select(F.col("src").alias(a), F.col("dst").alias(b)), [a, b], "left_anti"
-        )
+        if a == b:
+            anti = e.where(F.col("src") == F.col("dst")).select(F.col("src").alias(a))
+            out = out.join(anti, [a], "left_anti")
+        else:
+            out = out.join(
+                e.select(F.col("src").alias(a), F.col("dst").alias(b)),
+                [a, b],
+                "left_anti",
+            )
 
     named = [v for v in bound if not v.startswith("__anon")]
     return out.select(*named)

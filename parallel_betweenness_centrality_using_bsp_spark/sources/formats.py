@@ -49,6 +49,14 @@ def _detect(path: str, fmt: str | None) -> str:
     )
 
 
+def _sep(path: str, delimiter: str | None) -> str:
+    """Delimiter precedence: an EXPLICITLY passed ``delimiter`` always wins;
+    otherwise '.tsv' paths default to tab and everything else to comma."""
+    if delimiter is not None:
+        return delimiter
+    return "\t" if path.rstrip("/").endswith(".tsv") else ","
+
+
 def read_table(
     spark: SparkSession,
     path: str,
@@ -56,10 +64,12 @@ def read_table(
     fmt: str | None = None,
     schema: str | None = None,
     header: bool = True,
-    delimiter: str = ",",
+    delimiter: str | None = None,
 ) -> DataFrame:
     """Read ``path`` as a DataFrame; ``schema`` is a DDL string (strongly
-    recommended for csv/json — skips inference's extra pass)."""
+    recommended for csv/json — skips inference's extra pass).  ``delimiter``
+    defaults per :func:`_sep` (tab for '.tsv', else comma); passing it
+    explicitly overrides the extension default."""
     f = _detect(path, fmt)
     if f == "parquet":
         return spark.read.parquet(path)
@@ -67,7 +77,7 @@ def read_table(
         return spark.read.orc(path)
     if f == "csv":
         r = spark.read.option("header", str(header).lower()).option(
-            "sep", "\t" if path.rstrip("/").endswith(".tsv") else delimiter
+            "sep", _sep(path, delimiter)
         ).option("mode", "FAILFAST")
         return (r.schema(schema) if schema else r.option("inferSchema", "true")).csv(
             path
@@ -84,11 +94,12 @@ def write_table(
     *,
     fmt: str | None = None,
     header: bool = True,
-    delimiter: str = ",",
+    delimiter: str | None = None,
     partition_by: list[str] | None = None,
 ) -> None:
     """Write ``df`` to ``path`` in the detected/explicit format
-    (mode=overwrite; ``partition_by`` for the columnar formats)."""
+    (mode=overwrite; ``partition_by`` for the columnar formats).
+    ``delimiter`` precedence matches :func:`read_table`."""
     f = _detect(path, fmt)
     w = df.write.mode("overwrite")
     if partition_by:
@@ -99,7 +110,7 @@ def write_table(
         w.orc(path)
     elif f == "csv":
         w.option("header", str(header).lower()).option(
-            "sep", "\t" if path.rstrip("/").endswith(".tsv") else delimiter
+            "sep", _sep(path, delimiter)
         ).csv(path)
     elif f == "json":
         w.json(path)

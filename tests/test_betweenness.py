@@ -243,3 +243,20 @@ def test_weighted_estimator_scaling(spark):
     }
     f = len(nodes) / len(half)
     assert all(abs(est[v] - plain[v] * f) < 1e-9 for v in exact)
+
+
+def test_weighted_betweenness_rejects_fractional_weights(spark):
+    """A weight in (0,1) truncates to 0 under the long cast — must be
+    rejected loudly, not silently corrupt sigma/delta (ADVICE r4)."""
+    import pytest
+
+    from parallel_betweenness_centrality_using_bsp_spark.operators.betweenness_weighted import (
+        betweenness_weighted,
+    )
+
+    df = spark.createDataFrame([(0, 1, 0.5)], "src long, dst long, w double")
+    with pytest.raises(ValueError, match="INTEGRAL"):
+        betweenness_weighted(spark, df)
+    df2 = spark.createDataFrame([(0, 1, 1.5)], "src long, dst long, w double")
+    with pytest.raises(ValueError, match="INTEGRAL"):
+        betweenness_weighted(spark, df2)

@@ -51,3 +51,14 @@ def test_tsv_delimiter(spark, tmp_path):
     write_table(src, p)
     back = read_table(spark, p, schema="r_regionkey int, r_name string")
     assert _rows(back, ["r_regionkey", "r_name"]) == _rows(src, ["r_regionkey", "r_name"])
+
+
+def test_explicit_delimiter_overrides_tsv_extension(spark, tmp_path):
+    """An explicitly passed delimiter wins over the '.tsv' tab default."""
+    src = read_table(spark, f"{SF_DIR}/region.parquet").select("r_regionkey", "r_name")
+    p = str(tmp_path / "pipey.tsv")
+    write_table(src, p, delimiter="|")
+    raw = read_table(spark, p, schema="line string", delimiter="\x01", header=False)
+    assert all("|" in r["line"] for r in raw.collect() if r["line"])
+    back = read_table(spark, p, schema="r_regionkey int, r_name string", delimiter="|")
+    assert _rows(back, ["r_regionkey", "r_name"]) == _rows(src, ["r_regionkey", "r_name"])

@@ -124,3 +124,30 @@ def test_bm25_derived_query_is_top_df_terms(spark):
     assert set(got) == set(want)
     for d in want:
         assert abs(got[d] - want[d]) < 1e-9
+
+
+def test_kmeans_seeds_noncontiguous_ids(spark):
+    """Seeding uses the k SMALLEST actual ids — 1000-based sparse ids still
+    get exactly k centroids (regression for the `id < k` under-seed bug)."""
+    import pyspark.sql.functions as F
+
+    df, vecs = _vec_df(spark, n=20)
+    shifted = df.withColumn("vec_id", F.col("vec_id") + 1000)
+    got = {
+        r["vec_id"] - 1000: (r["cluster"] - 1000, r["d2"])
+        for r in kmeans_rounds(spark, shifted, k=4, rounds=2).collect()
+    }
+    base = {
+        r["vec_id"]: (r["cluster"], r["d2"])
+        for r in kmeans_rounds(spark, df, k=4, rounds=2).collect()
+    }
+    assert got == base
+    assert len({c for c, _ in got.values()}) > 1
+
+
+def test_kmeans_raises_when_fewer_than_k(spark):
+    import pytest
+
+    df, _ = _vec_df(spark, n=3)
+    with pytest.raises(ValueError, match="only 3 distinct"):
+        kmeans_rounds(spark, df, k=4, rounds=1)

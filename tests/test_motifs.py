@@ -75,3 +75,17 @@ def test_motif_matches_triangle_kernel(spark):
         if (c, a) in es
     )
     assert got == want
+
+
+def test_motif_self_loop_term(spark):
+    """'(a)-[]->(a)' binds self-loops as ONE column, not duplicate names."""
+    e = _edges(spark, [(1, 1), (2, 3), (4, 4), (4, 5)])
+    got = find(e, "(a)-[]->(a)")
+    assert got.columns == ["a"]
+    assert sorted(r["a"] for r in got.collect()) == [1, 4]
+    # self-loop vertex joined with an outgoing edge
+    got2 = find(e, "(a)-[]->(a); (a)-[]->(b)")
+    assert sorted((r["a"], r["b"]) for r in got2.collect()) == [(1, 1), (4, 4), (4, 5)]
+    # negated self-loop: bindings whose vertex has NO self-loop
+    got3 = find(e, "(a)-[]->(b); !(a)-[]->(a)")
+    assert sorted((r["a"], r["b"]) for r in got3.collect()) == [(2, 3)]
