@@ -1167,6 +1167,28 @@ def graph_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(spark, e, algorithm="starcontract").state.orderBy("vertex")
 
 
+def graph_components_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental connected components: a deterministic 90/10 hash split of
+    the edge table plays the roles of existing graph and edge delta; labels
+    come from a cold run on the 90% base, then ``incremental_components``
+    folds the 10% delta in — a |delta|-sized label-graph fixpoint plus one
+    broadcast relabel, never re-touching the base edges.  ORACLE-GATED
+    against the FULL-graph components twin: incremental == cold by
+    construction of hash-min labels (min vertex id per merged component)."""
+    from parallel_betweenness_centrality_using_bsp_spark.operators.components import (
+        connected_components,
+        incremental_components,
+    )
+
+    e = _order_edges(spark, sf_dir)
+    bucket = F.pmod(F.xxhash64("src", "dst"), F.lit(10))
+    labels = connected_components(spark, e.where(bucket < 9)).state
+    return (
+        incremental_components(spark, labels, e.where(bucket >= 9))
+        .orderBy("vertex")
+    )
+
+
 def graph_pagerank5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exactly 5 power iterations (tol=0 disables early convergence) so the
     unrolled DuckDB oracle computes the identical fixed prefix."""
@@ -2801,6 +2823,32 @@ def graph_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def graph_betweenness_bsp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The JOIN-formulation Brandes (``betweenness_bsp`` — frontier joins +
+    reverse dependency sweep, the engine's cluster-scale path) over the
+    identical {v < 64} source sample and against the IDENTICAL SQL Brandes
+    oracle as ``graph_betweenness`` (CSR path): hash-green on both rows is
+    the driver-gate proof that the two physical implementations compute the
+    same scores, not just in pytest."""
+    from parallel_betweenness_centrality_using_bsp_spark.operators.betweenness import betweenness_bsp
+
+    e = _order_edges(spark, sf_dir)
+    verts = (
+        e.select(F.col("src").alias("vertex"))
+        .unionByName(e.select(F.col("dst").alias("vertex")))
+        .distinct()
+    )
+    sources = sorted(
+        r["vertex"] for r in verts.where(F.col("vertex") < BC_SOURCE_CAP).collect()
+    )
+    res = betweenness_bsp(spark, e, sources=sources, directed=False)
+    return (
+        res.bc.join(verts, "vertex")
+        .select("vertex", F.round("bc", 6).alias("bc"))
+        .orderBy("vertex")
+    )
+
+
 def graph_edge_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edge betweenness (Girvan-Newman's split criterion) over the same
     {v < 64} source sample as graph_betweenness — ORACLE-GATED: the DuckDB
@@ -3738,6 +3786,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_assortativity": graph_assortativity,
         "graph_triangle_count": graph_triangle_count,
         "graph_components": graph_components,
+        "graph_components_incremental": graph_components_incremental,
         "graph_components_star": graph_components_star,
         "graph_pagerank5": graph_pagerank5,
         "graph_pagerank5_weighted": graph_pagerank5_weighted,
@@ -3749,6 +3798,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_conductance": graph_conductance,
         "graph_community_centroids": graph_community_centroids,
         "graph_betweenness": graph_betweenness,
+        "graph_betweenness_bsp": graph_betweenness_bsp,
         "graph_betweenness_weighted": graph_betweenness_weighted,
         "graph_edge_betweenness": graph_edge_betweenness,
         "graph_closeness": graph_closeness,
@@ -4217,6 +4267,18 @@ ORDER BY n_hits DESC, doc_id LIMIT 50
             )
             SELECT vertex, min(lab) AS label FROM reach GROUP BY vertex ORDER BY vertex
         """,
+        # incremental == cold on the full graph by construction (hash-min
+        # labels are the per-component min vertex id, independent of the
+        # base/delta split) — the twin is the identical full-graph query
+        "graph_components_incremental": f"""
+            WITH RECURSIVE {_EDGES_SQL},
+            reach(vertex, lab) AS (
+                SELECT vertex, vertex FROM vertices
+                UNION
+                SELECT u.dst, r.lab FROM reach r JOIN und u ON u.src = r.vertex
+            )
+            SELECT vertex, min(lab) AS label FROM reach GROUP BY vertex ORDER BY vertex
+        """,
         "graph_pagerank5": _pagerank5_sql(),
         "graph_pagerank5_weighted": _pagerank5_weighted_sql(),
         "graph_katz3": _katz3_sql(),
@@ -4227,6 +4289,7 @@ ORDER BY n_hits DESC, doc_id LIMIT 50
         "graph_conductance": _conductance_sql(),
         "graph_community_centroids": _community_centroids_sql(),
         "graph_betweenness": _betweenness_sql(),
+        "graph_betweenness_bsp": _betweenness_sql(),
         "graph_edge_betweenness": _edge_betweenness_sql(),
         "graph_closeness": _closeness_sql(),
         "graph_closeness_weighted": _closeness_weighted_sql(),

@@ -14,22 +14,32 @@ A literal distributed Dijkstra would serialize on its priority queue, so
 every phase here is a BSP fixpoint of frontier-driven DataFrame joins —
 the execution shape every other kernel in this engine uses:
 
-* **dist**: frontier Bellman–Ford, exactly ``operators.sssp``'s relaxation
-  (only improved rows send messages; converges to Dijkstra's answer for
-  positive weights).
-* **DAG**: one join pass — edge (u,v,w) is a shortest-path DAG edge iff
-  ``dist(u) + w == dist(v)``.  Integral weights keep this equality exact
-  in every engine (the 1e-6/exact twin-oracle rule).
-* **sigma**: hop-indexed fixpoint over the DAG.  With strictly positive
-  weights the DAG is acyclic and ``σ_k(v) = Σ_preds σ_{k-1}(u)`` (source
-  pinned at 1) equals the number of shortest paths using ≤ k DAG edges —
-  stationary once k reaches the deepest shortest path's hop count.  Only
-  vertices whose σ changed last round send messages.
-* **delta**: the same fixpoint run BACKWARD: ``δ_k(v) = Σ_succs
-  σ(v)/σ(w) · (1 + δ_{k-1}(w))`` converges bottom-up in DAG-depth rounds.
-  No per-distance-value driver loop: a 10^12-file graph has too many
-  distinct distances to enumerate at the driver, while DAG depth is a
-  round count like every other kernel's.
+* **fused dist+sigma+depth** (one fixpoint, r5): frontier Bellman–Ford
+  relaxation AND the Brandes path-count recurrence propagate in the SAME
+  round.  Each round relaxes distances from the changed frontier, then
+  recomputes ``σ(v) = Σ_{(u,v): dist(u)+w == dist(v)} σ(u)`` (source
+  pinned at 1) and ``hopd(v) = 1 + max(hopd(u))`` over the same
+  qualifying preds, for exactly the vertices the frontier touched.  σ
+  computed against a not-yet-final dist is transient — the pred that
+  changes re-triggers the recompute — and the fixpoint is the exact
+  Brandes recurrence on the acyclic shortest-path DAG.  Rounds ≈ hop
+  diameter + small lag, vs the r4 structure (dist fixpoint THEN sigma
+  fixpoint) paying ~2× the diameter before delta even starts.  Integral
+  weights keep the ``dist(u) + w == dist(v)`` DAG-membership equality
+  exact in every engine (the 1e-6/exact twin-oracle rule).
+* **delta**: the recurrence run BACKWARD over the σ-ratio-annotated DAG:
+  ``δ_k(v) = Σ_succs σ(v)/σ(w) · (1 + δ_{k-1}(w))`` converges bottom-up
+  in DAG-depth rounds — and the depth is KNOWN (max ``hopd`` from the
+  fused phase), so the sweep runs blind with no per-round convergence
+  check.  No per-distance-value driver loop: a 10^12-file graph has too
+  many distinct distances to enumerate at the driver, while DAG depth is
+  a round count like every other kernel's.
+
+For graphs whose weight spread makes Bellman-Ford relax far vertices
+early with non-final distances, ``operators.sssp`` offers delta-stepping
+(``delta_width``) for the standalone distance problem; the fused phase
+here keeps Δ=∞ since σ-recomputation already piggybacks on every
+correction wave.
 
 Scale notes: the weighted edge table is min-combined per (src, dst),
 partitioned by src once, persisted; per-round shuffles carry only
@@ -132,15 +142,33 @@ def betweenness_weighted(
         n_sources += len(batch)
         src_df = spark.createDataFrame([(s,) for s in batch], "source long")
 
-        # ---- phase 1: weighted distances (frontier Bellman–Ford) --------
+        # ---- fused phase: dist + sigma + DAG-depth in ONE fixpoint ------
+        # r4 ran dist (hop-diameter rounds) THEN sigma (DAG-depth rounds)
+        # as separate fixpoints — ~2·D supersteps before delta even starts.
+        # Here both propagate in the same round: relax distances from the
+        # changed frontier AND recompute the Brandes pred-sum
+        #   σ(v) = Σ_{(u,v): dist(u)+w == dist(v)} σ(u)
+        # for every vertex the frontier can have touched (= the candidate
+        # set — a vertex's σ/depth inputs can only change via an in-edge
+        # from a changed vertex, and those are exactly cand's keys).  The
+        # pred-sum uses the PREVIOUS round's (dist, sigma) at u and the
+        # CURRENT merged dist at v; one round of staleness just retriggers
+        # the recompute (u stays in the change-set), so the fixpoint is the
+        # exact Brandes recurrence — reached ~1-2 rounds after distances
+        # settle instead of a full extra DAG-depth sweep.  ``hopd`` rides
+        # the same max-aggregate (1 + max over qualifying preds): its
+        # fixpoint maximum IS the DAG depth, which phase 3 runs blind for.
         state = src_df.select(
             "source",
             F.col("source").alias("vertex"),
             F.lit(0).cast("long").alias("dist"),
-            F.lit(True).alias("improved"),
+            F.lit(1.0).alias("sigma"),
+            F.lit(0).alias("hopd"),
+            F.lit(True).alias("chg"),
         ).localCheckpoint(eager=True)
+        e_in = e.select(F.col("src").alias("u"), F.col("dst").alias("vertex"), "w")
         for _ in range(max_hops):
-            frontier = state.where(F.col("improved"))
+            frontier = state.where(F.col("chg"))
             if frontier.isEmpty():
                 break
             cand = (
@@ -148,29 +176,75 @@ def betweenness_weighted(
                 .select(
                     "source",
                     e.dst.alias("vertex"),
-                    (F.col("dist") + F.col("w")).alias("dist"),
+                    (F.col("dist") + F.col("w")).alias("cdist"),
                 )
                 .groupBy("source", "vertex")
-                .agg(F.min("dist").alias("dist"))
+                .agg(F.min("cdist").alias("cdist"))
+                .localCheckpoint(eager=True)  # reused twice below
             )
-            s_, c_ = state.alias("s"), cand.alias("c")
-            better = F.col("s.dist").isNull() | (F.col("c.dist") < F.col("s.dist"))
-            state = (
-                s_.join(c_, ["source", "vertex"], "full_outer")
-                .select(
-                    "source",
-                    "vertex",
-                    F.when(F.col("c.dist").isNotNull() & better, F.col("c.dist"))
-                    .otherwise(F.col("s.dist"))
-                    .alias("dist"),
-                    (F.col("c.dist").isNotNull() & better).alias("improved"),
+            su = state.select(
+                "source",
+                F.col("vertex").alias("u"),
+                F.col("dist").alias("du"),
+                F.col("sigma").alias("sigma_u"),
+                F.col("hopd").alias("hopd_u"),
+            )
+            sv = state.select(
+                "source",
+                "vertex",
+                F.col("dist").alias("dv_old"),
+                F.col("sigma").alias("sig_old"),
+                F.col("hopd").alias("hopd_old"),
+            )
+            qualify = F.col("du") + F.col("w") == F.col("dv")
+            touched = (
+                cand.join(e_in, "vertex")
+                .join(su, ["source", "u"])
+                .join(sv, ["source", "vertex"], "left")
+                .withColumn("dv", F.least("dv_old", "cdist"))
+                .groupBy("source", "vertex")
+                .agg(
+                    F.first("dv").alias("dist"),
+                    F.first("dv_old").alias("dv_old"),
+                    F.first("sig_old").alias("sig_old"),
+                    F.first("hopd_old").alias("hopd_old"),
+                    F.sum(F.when(qualify, F.col("sigma_u"))).alias("nsig"),
+                    F.max(F.when(qualify, F.col("hopd_u") + 1)).alias("nhopd"),
                 )
-                .localCheckpoint(eager=True)
             )
+            is_src = F.col("vertex") == F.col("source")
+            new_sigma = F.when(is_src, F.lit(1.0)).otherwise(
+                F.coalesce("nsig", F.lit(0.0))
+            )
+            new_hopd = F.when(is_src, F.lit(0)).otherwise(
+                F.coalesce("nhopd", F.lit(0))
+            )
+            changed = (
+                ~F.col("dist").eqNullSafe(F.col("dv_old"))
+                | ~new_sigma.eqNullSafe(F.col("sig_old"))
+                | ~new_hopd.eqNullSafe(F.col("hopd_old"))
+            )
+            tfinal = touched.select(
+                "source",
+                "vertex",
+                "dist",
+                new_sigma.alias("sigma"),
+                new_hopd.alias("hopd"),
+                changed.alias("chg"),
+            )
+            untouched = state.join(
+                cand.select("source", "vertex"), ["source", "vertex"], "left_anti"
+            ).select(
+                "source", "vertex", "dist", "sigma", "hopd", F.lit(False).alias("chg")
+            )
+            state = untouched.unionByName(tfinal).localCheckpoint(eager=True)
             total_steps += 1
         dist = state.select("source", "vertex", "dist")
+        dag_depth = int(
+            state.agg(F.coalesce(F.max("hopd"), F.lit(0)).alias("d")).collect()[0]["d"]
+        )
 
-        # ---- shortest-path DAG: dist(u) + w == dist(v) ------------------
+        # ---- shortest-path DAG with σ-ratios: dist(u) + w == dist(v) ----
         du = dist.select("source", F.col("vertex").alias("src"), F.col("dist").alias("du"))
         dv = dist.select("source", F.col("vertex").alias("dst"), F.col("dist").alias("dv"))
         dag = (
@@ -182,81 +256,14 @@ def betweenness_weighted(
             .persist()
         )
         total_edges_traversed += dag.count()
-
-        # ---- phase 2: sigma fixpoint over the DAG (hop-indexed) ---------
-        sigma = dist.select(
-            "source",
-            "vertex",
-            F.when(F.col("vertex") == F.col("source"), F.lit(1.0))
-            .otherwise(F.lit(0.0))
-            .alias("sigma"),
-            # changed-marker drives the frontier: round k's messages come
-            # only from rows whose sigma moved in round k-1
-            (F.col("vertex") == F.col("source")).alias("chg"),
-        ).localCheckpoint(eager=True)
-        sigma_rounds = 0
-        for _ in range(max_hops):
-            changed = sigma.where(F.col("chg"))
-            if changed.isEmpty():
-                break
-            # recompute the FULL pred-sum for every vertex with a changed
-            # pred: partial increments would double-count across rounds
-            # dag and sigma share lineage (both derive from dist) — alias
-            # both sides of every dag×state join or Spark flags the common
-            # exprIds as an ambiguous self-join
-            ch, dg = changed.alias("ch"), dag.alias("dg")
-            touched = (
-                ch.join(
-                    dg,
-                    (F.col("ch.source") == F.col("dg.source"))
-                    & (F.col("ch.vertex") == F.col("dg.src")),
-                )
-                .select(F.col("dg.source").alias("source"), F.col("dg.dst").alias("dst"))
-                .distinct()
-            )
-            sums = (
-                dag.join(touched, ["source", "dst"], "left_semi")
-                .select("source", F.col("dst").alias("vertex"), F.col("src").alias("u"))
-                .join(
-                    sigma.select(
-                        "source", F.col("vertex").alias("u"), F.col("sigma").alias("su")
-                    ),
-                    ["source", "u"],
-                )
-                .groupBy("source", "vertex")
-                .agg(F.sum("su").alias("new_sigma"))
-            )
-            sg, sm = sigma.alias("g"), sums.alias("m")
-            sigma = (
-                sg.join(sm, ["source", "vertex"], "left")
-                .select(
-                    "source",
-                    "vertex",
-                    F.when(
-                        F.col("m.new_sigma").isNotNull()
-                        & (F.col("vertex") != F.col("source")),
-                        F.col("m.new_sigma"),
-                    )
-                    .otherwise(F.col("g.sigma"))
-                    .alias("sigma"),
-                    (
-                        F.col("m.new_sigma").isNotNull()
-                        & (F.col("vertex") != F.col("source"))
-                        & (F.col("m.new_sigma") != F.col("g.sigma"))
-                    ).alias("chg"),
-                )
-                .localCheckpoint(eager=True)
-            )
-            total_steps += 1
-            sigma_rounds += 1
+        sigma = state.select("source", "vertex", "sigma")
 
         # ---- phase 3: delta fixpoint, backward over the DAG -------------
-        # Round count is KNOWN, not detected: sigma's loop executes one
-        # final no-change round before its emptiness break, so
-        # ``sigma_rounds - 1`` IS the DAG depth, and delta propagated
-        # leaf-up is stationary after exactly that many rounds.  Running
-        # them blind drops the per-round convergence join + driver sync
-        # the earlier code paid.
+        # Round count is KNOWN, not detected: the fused phase's ``hopd``
+        # maximum IS the DAG depth, and delta propagated leaf-up is
+        # stationary after depth-1 rounds (the deepest vertices' delta=0
+        # is already final; each round finalizes one level up).  Running
+        # them blind drops the per-round convergence join + driver sync.
         #
         # The σ-ratio on each DAG edge never changes across delta rounds —
         # join sigma into the DAG ONCE (σ(u)/σ(w) per edge, persisted) so
@@ -284,7 +291,7 @@ def betweenness_weighted(
         delta = sv.select(
             "source", "vertex", F.lit(0.0).alias("delta")
         ).localCheckpoint(eager=True)
-        for _ in range(min(max(sigma_rounds - 1, 0), max_hops)):
+        for _ in range(min(max(dag_depth - 1, 0), max_hops)):
             # δ(v) = Σ_{w succ} σ(v)/σ(w) · (1 + δ(w)) — recomputed in full
             # each round; stationary once rounds reach the DAG depth
             dw = delta.select(

@@ -264,13 +264,16 @@ def closeness_weighted_sampled(
     num_partitions: int | None = None,
     wf_improved: bool = True,
     max_hops: int = 60,
+    delta_width: int | None = None,
 ) -> DataFrame:
     """``closeness_sampled`` over WEIGHTED distances: the identical
     aggregation fed by the frontier Bellman–Ford kernel (``operators.sssp``)
     instead of BFS hops.  ``weighted_edges`` is (src, dst, w) with strictly
     positive integral weights; ``max_hops`` caps relaxation rounds exactly
     as in ``betweenness_weighted`` (≥ the deepest shortest path's hop count
-    for exact distances — each run also early-stops at its fixpoint)."""
+    for exact distances — each run also early-stops at its fixpoint).
+    ``delta_width`` threads delta-stepping through to :func:`sssp` — same
+    fixpoint, bucketed relaxation order (raise ``max_hops`` accordingly)."""
     from parallel_betweenness_centrality_using_bsp_spark.operators.sssp import sssp
 
     d = sssp(
@@ -280,6 +283,7 @@ def closeness_weighted_sampled(
         directed=directed,
         num_partitions=num_partitions,
         max_hops=max_hops,
+        delta_width=delta_width,
     )
     n = (
         weighted_edges.select(F.col("src").alias("v"))

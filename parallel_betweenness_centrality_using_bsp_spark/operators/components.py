@@ -270,3 +270,98 @@ def _star_contraction(
         converged=run.converged,
         metrics=run.metrics,
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental recompute from existing labels + an edge delta
+# ---------------------------------------------------------------------------
+
+
+def incremental_components(
+    spark: SparkSession,
+    labels: DataFrame,
+    delta_edges: DataFrame,
+    *,
+    num_partitions: int | None = None,
+    max_supersteps: int = 100,
+) -> DataFrame:
+    """Connected components after ADDING ``delta_edges`` to the graph whose
+    labels are ``labels`` (vertex long, label long — hash-min labels, i.e.
+    each vertex labeled with its component's minimum vertex id), WITHOUT
+    re-touching the original edge table.
+
+    The key fact: edge additions only ever MERGE components, and which
+    components merge is fully determined by the delta projected into label
+    space.  So the recompute is
+
+      1. map each delta endpoint to its current label (its own id for a
+         vertex the old labels have never seen),
+      2. run hash-min over that |delta|-sized label graph — new label of an
+         old component = min over the merged old labels = min vertex id of
+         the merged component, exactly the cold-run answer,
+      3. broadcast the (old_label -> new_label) mapping (rows ≤ number of
+         merged components ≤ |delta| — small BY CONSTRUCTION) into one
+         map-side relabel pass over ``labels``.
+
+    Cost: a fixpoint over |delta| rows plus ONE broadcast join over the
+    label table — no shuffle of the label table, no scan of the original
+    edges.  Completes the streaming×batch loop started by
+    ``streaming/graph.py`` hot-vertex detection and ``pagerank_warm_start``.
+
+    Deletions are NOT supported (a removed edge can split a component,
+    which needs connectivity of the remaining graph — run a cold
+    recompute); self-loops and duplicate delta rows are fine.
+
+    Returns (vertex long, label long) for the UNION of the old vertex set
+    and the delta's endpoints, exactly equal to a cold
+    ``connected_components`` run on old-edges ∪ delta.
+    """
+    p = num_partitions or spark.sparkContext.defaultParallelism
+    lab_s = labels.select(F.col("vertex").alias("src"), F.col("label").alias("lu"))
+    lab_d = labels.select(F.col("vertex").alias("dst"), F.col("label").alias("lv"))
+    # delta in label space; unseen endpoints act as their own singleton label
+    dl = (
+        delta_edges.select("src", "dst")
+        .join(lab_s, "src", "left")
+        .join(lab_d, "dst", "left")
+        .select(
+            F.coalesce("lu", F.col("src")).alias("src"),
+            F.coalesce("lv", F.col("dst")).alias("dst"),
+        )
+        .dropDuplicates(["src", "dst"])
+        .localCheckpoint(eager=True)
+    )
+    mapping = (
+        connected_components(
+            spark,
+            dl,
+            max_supersteps=max_supersteps,
+            num_partitions=min(p, 8),  # |delta|-sized problem
+            count_rows=False,
+        )
+        .state.where(F.col("vertex") != F.col("label"))
+        .select(F.col("vertex").alias("old_label"), F.col("label").alias("new_label"))
+    )
+    relabeled = (
+        labels.join(
+            F.broadcast(mapping), labels.label == mapping.old_label, "left"
+        )
+        .select(
+            "vertex",
+            F.coalesce("new_label", F.col("label")).alias("label"),
+        )
+    )
+    # delta endpoints the old labels never saw
+    dverts = (
+        delta_edges.select(F.col("src").alias("vertex"))
+        .unionByName(delta_edges.select(F.col("dst").alias("vertex")))
+        .distinct()
+        .join(labels.select("vertex"), "vertex", "left_anti")
+    )
+    fresh = (
+        dverts.join(F.broadcast(mapping), dverts.vertex == mapping.old_label, "left")
+        .select(
+            "vertex", F.coalesce("new_label", F.col("vertex")).alias("label")
+        )
+    )
+    return relabeled.unionByName(fresh)

@@ -80,9 +80,10 @@ def sssp_run(
     count_rows: bool = True,
     frontier_sizes: list[int] | None = None,
     bucket_state: bool = False,
+    delta_width: int | None = None,
 ) -> SuperstepRun:
     """Full superstep run; state is (source long, vertex long, dist long,
-    improved boolean) — ``improved`` marks the current frontier.
+    improved boolean) — ``improved`` marks rows still awaiting processing.
 
     ``weighted_edges`` is (src, dst, w) with non-negative integral weights
     (long) — integer costs keep every engine bit-exact.  ``early_stop=False``
@@ -96,6 +97,24 @@ def sssp_run(
     table bucketed+sorted on (source, vertex), so the next round's
     full-outer merge skips the state-side exchange and sort — the layout
     for cluster-scale runs.
+
+    ``delta_width`` (Δ) enables **delta-stepping** (Meyer & Sanders 2003,
+    recast as a BSP frontier predicate): each round relaxes only improved
+    rows whose tentative distance falls inside the current per-source
+    bucket ``[0, (floor(min_improved/Δ)+1)·Δ)``; improved rows beyond it
+    stay queued (``improved`` persists) until their bucket opens.  The
+    fixpoint is IDENTICAL for any Δ — state decreases monotonically to
+    the true SSSP distances — Δ only tunes rounds vs wasted work:
+    Δ=∞ (None) is plain frontier Bellman-Ford (rounds = shortest-path hop
+    diameter, but far-away vertices get relaxed early with non-final
+    distances and must re-send corrections); Δ=1 with integral weights is
+    Dijkstra's bucket order (every vertex relaxed exactly once with its
+    FINAL distance — minimum total shuffle volume, rounds = number of
+    nonempty distance buckets).  At cluster scale, where a round's cost is
+    its shuffle volume rather than its fixed job overhead, a Δ around the
+    mean edge weight bounds the wasted-relaxation blowup on wide-weight
+    graphs; the bucket limit itself is a |sources|-row broadcast aggregate
+    computed in-plan — no extra driver round trips.
     """
     p = num_partitions or spark.sparkContext.defaultParallelism
     e = _prepare_edges(spark, weighted_edges, directed, p)
@@ -107,7 +126,20 @@ def sssp_run(
     ).repartition(p, "source", "vertex")
 
     def step(state: DataFrame, _k: int) -> DataFrame:
-        frontier = state.where(F.col("improved"))
+        imp = state.where(F.col("improved"))
+        if delta_width is None:
+            frontier = imp.select("source", "vertex", "dist")
+        else:
+            lim = imp.groupBy("source").agg(
+                ((F.floor(F.min("dist") / delta_width) + 1) * delta_width).alias(
+                    "lim"
+                )
+            )
+            frontier = (
+                imp.join(F.broadcast(lim), "source")
+                .where(F.col("dist") < F.col("lim"))
+                .select("source", "vertex", "dist")
+            )
         if frontier_sizes is not None:
             frontier_sizes.append(frontier.count())
         cand = (
@@ -122,13 +154,35 @@ def sssp_run(
         )
         s, c = state.alias("s"), cand.alias("c")
         better = F.col("s.dist").isNull() | (F.col("c.dist") < F.col("s.dist"))
-        return s.join(c, ["source", "vertex"], "full_outer").select(
+        newly = F.col("c.dist").isNotNull() & better
+        merged = s.join(c, ["source", "vertex"], "full_outer")
+        if delta_width is None:
+            improved_out = newly
+        else:
+            # rows improved but OUTSIDE the current bucket were not
+            # processed this round — they stay queued for a later bucket
+            lim2 = (
+                state.where(F.col("improved"))
+                .groupBy("source")
+                .agg(
+                    (
+                        (F.floor(F.min("dist") / delta_width) + 1) * delta_width
+                    ).alias("lim")
+                )
+                .alias("L")
+            )
+            merged = merged.join(F.broadcast(lim2), ["source"], "left")
+            pending = (
+                F.col("s.improved")
+                & F.col("L.lim").isNotNull()
+                & (F.col("s.dist") >= F.col("L.lim"))
+            )
+            improved_out = newly | F.coalesce(pending, F.lit(False))
+        return merged.select(
             "source",
             "vertex",
-            F.when(F.col("c.dist").isNotNull() & better, F.col("c.dist"))
-            .otherwise(F.col("s.dist"))
-            .alias("dist"),
-            (F.col("c.dist").isNotNull() & better).alias("improved"),
+            F.when(newly, F.col("c.dist")).otherwise(F.col("s.dist")).alias("dist"),
+            improved_out.alias("improved"),
         )
 
     def converged(_old: DataFrame, new: DataFrame) -> bool:
@@ -138,7 +192,7 @@ def sssp_run(
         spark,
         resume_state if resume_state is not None else initial,
         step,
-        algo="sssp",
+        algo="sssp" if delta_width is None else "sssp_delta",
         max_supersteps=max_hops,
         converged_fn=converged if early_stop else None,
         checkpoint_dir=checkpoint_dir,
@@ -162,10 +216,14 @@ def sssp(
     early_stop: bool = True,
     checkpoint_dir: str | None = None,
     run_id: str | None = None,
+    delta_width: int | None = None,
 ) -> DataFrame:
     """(source long, vertex long, dist long) — min path cost from each
     source over paths of ≤ ``max_hops`` hops (exact SSSP once the fixpoint
-    is reached; unreachable vertices are absent)."""
+    is reached; unreachable vertices are absent).  ``delta_width`` enables
+    delta-stepping (see :func:`sssp_run`); note bucketed rounds are counted
+    against ``max_hops`` too, so raise the cap when Δ is much smaller than
+    the weighted diameter."""
     run = sssp_run(
         spark,
         weighted_edges,
@@ -177,5 +235,6 @@ def sssp(
         checkpoint_dir=checkpoint_dir,
         run_id=run_id,
         count_rows=False,
+        delta_width=delta_width,
     )
     return run.state.select("source", "vertex", "dist")

@@ -105,3 +105,44 @@ def test_k_core_resume_mid_peel(spark, tmp_path):
         )
     )
     assert got == want
+
+
+def test_incremental_components_matches_cold_run(spark):
+    """Adding a delta to existing labels gives EXACTLY the cold-run labels:
+    merges across components, edges internal to a component, brand-new
+    vertices (including one bridging old and new), several seeds."""
+    from parallel_betweenness_centrality_using_bsp_spark.operators.components import (
+        incremental_components,
+    )
+
+    for seed in (3, 11):
+        base = er_graph(n=60, p=0.02, seed=seed)          # sparse: many comps
+        extra = er_graph(n=60, p=0.01, seed=seed + 100)
+        delta = [e for e in extra if e not in set(base)]
+        # new vertices: an isolated new pair and a bridge into the old graph
+        delta += [(200, 201), (202, 5), (7, 7)]
+        cold = df_to_dict(
+            connected_components(spark, edge_df(spark, base + delta)).state,
+            "vertex", "label",
+        )
+        warm_labels = connected_components(spark, edge_df(spark, base)).state
+        warm = df_to_dict(
+            incremental_components(spark, warm_labels, edge_df(spark, delta)),
+            "vertex", "label",
+        )
+        assert warm == cold, f"seed={seed}"
+
+
+def test_incremental_components_empty_and_internal_delta(spark):
+    from parallel_betweenness_centrality_using_bsp_spark.operators.components import (
+        incremental_components,
+    )
+
+    base = two_triangles_edges()
+    labels = connected_components(spark, edge_df(spark, base)).state
+    # delta entirely inside one existing component: labels unchanged
+    internal = edge_df(spark, [(0, 2)])
+    got = df_to_dict(
+        incremental_components(spark, labels, internal), "vertex", "label"
+    )
+    assert got == df_to_dict(labels, "vertex", "label")

@@ -107,3 +107,55 @@ def test_sssp_bucketed_state_matches_plain(spark, tmp_path):
     assert got == want
     for k in range(7):
         spark.sql(f"DROP TABLE IF EXISTS ss_sssp_bkt_{k}")
+
+
+def test_sssp_delta_stepping_matches_plain_and_dijkstra(spark):
+    """Delta-stepping reaches the identical fixpoint for several bucket
+    widths, including Δ=1 (Dijkstra order) and Δ beyond the weighted
+    diameter (degenerates to frontier Bellman-Ford)."""
+    edges = er_graph(n=70, p=0.07, seed=6)
+    e, rows = _weighted(spark, edges)
+    plain = {
+        (r["source"], r["vertex"]): r["dist"]
+        for r in sssp(spark, e, [0, 5], max_hops=100).collect()
+    }
+    g = nx.Graph()
+    for u, v, w in rows:
+        g.add_edge(u, v, weight=w)
+    for width in (1, 3, 10_000):
+        got = {
+            (r["source"], r["vertex"]): r["dist"]
+            for r in sssp(
+                spark, e, [0, 5], max_hops=300, delta_width=width
+            ).collect()
+        }
+        assert got == plain, f"delta_width={width}"
+    for s in (0, 5):
+        want = nx.single_source_dijkstra_path_length(g, s)
+        assert {v: d for (src, v), d in plain.items() if src == s} == want
+
+
+def test_sssp_delta_stepping_cuts_wasted_relaxations(spark):
+    """On a wide-weight graph (heavy shortcut reached first, corrected by a
+    long light path), bucketing relaxes each vertex near its FINAL distance:
+    total frontier rows processed must be strictly below plain frontier
+    Bellman-Ford's, which relaxes early with non-final distances and
+    re-sends corrections."""
+    # star of heavy spokes from 0 + a light chain that undercuts every spoke
+    n = 40
+    rows = [(0, i, 50) for i in range(1, n)]          # heavy direct spokes
+    rows += [(i, i + 1, 1) for i in range(0, n - 1)]  # light chain 0-1-2-…
+    e = spark.createDataFrame(rows, "src long, dst long, w long")
+
+    plain_sizes: list[int] = []
+    sssp_run(spark, e, [0], max_hops=300, frontier_sizes=plain_sizes)
+    delta_sizes: list[int] = []
+    run = sssp_run(
+        spark, e, [0], max_hops=300, frontier_sizes=delta_sizes, delta_width=1
+    )
+    # identical answer: chain distance i for vertex i (undirected graph)
+    got = {r["vertex"]: r["dist"] for r in run.state.collect()}
+    assert got == {i: min(i, 50 + 0 if i == 0 else min(i, 50)) if i else 0
+                   for i in range(n)} or got == {i: min(i, 50) if i else 0
+                                                 for i in range(n)}
+    assert sum(delta_sizes) < sum(plain_sizes)
