@@ -83,6 +83,21 @@ def main() -> None:
         run_cc.supersteps / queries["connected_components"], 4
     )
 
+    # incremental recompute: 1% NEW edges folded into the cold run's labels —
+    # a |delta|-sized label-graph fixpoint + one broadcast relabel; the row
+    # to compare against is connected_components (cold) just above
+    from parallel_betweenness_centrality_using_bsp_spark.operators.components import (
+        incremental_components,
+    )
+
+    delta_edges = random_uniform_graph(
+        spark, N_VERT, N_EDGE // 100, seed=4242
+    ).localCheckpoint(eager=True)
+    timed(
+        "components_incremental_1pct",
+        lambda: incremental_components(spark, run_cc.state, delta_edges).count(),
+    )
+
     timed("label_propagation_3", lambda: label_propagation(spark, g, max_supersteps=3, count_rows=False))
 
     timed("triangle_count", lambda: triangle_count(spark, g))
@@ -163,8 +178,9 @@ def main() -> None:
         louvain_one_level as _louvain,
     )
 
-    # weighted Brandes (new in r4): 2-source batch — three BSP fixpoints
-    # (dist, sigma, delta) per batch, each O(shortest-path hop depth) rounds
+    # weighted Brandes: 2-source batch — r5 fuses dist+sigma+depth into ONE
+    # fixpoint (~hop-diameter rounds) followed by the blind delta sweep of
+    # known DAG depth; r4 paid ~2x the diameter before delta even started
     res_bcw = timed(
         "betweenness_weighted_2src",
         lambda: _bcw(spark, we, sources=[0, 1], max_hops=40),

@@ -41,6 +41,7 @@ from pyspark.sql import functions as F
 
 from parallel_betweenness_centrality_using_bsp_spark.operators.edges import symmetrize
 from parallel_betweenness_centrality_using_bsp_spark.plans.superstep import IncrementalVisited
+from parallel_betweenness_centrality_using_bsp_spark.plans.superstep import guard_stats
 
 
 @dataclass
@@ -61,7 +62,7 @@ class BetweennessResult:
 
 
 def _checkpoint(df: DataFrame) -> DataFrame:
-    return df.localCheckpoint(eager=True)
+    return df.localCheckpoint(eager=True).transform(guard_stats)
 
 
 def _prep(
@@ -492,7 +493,7 @@ def betweenness_csr_sweep(
         all_v.join(partial.groupBy("vertex").agg(F.sum("bc").alias("bc")), "vertex", "left")
         .select("vertex", (F.coalesce(F.col("bc"), F.lit(0.0)) * F.lit(scale)).alias("bc"))
     )
-    bc = bc.localCheckpoint(eager=True)
+    bc = bc.localCheckpoint(eager=True).transform(guard_stats)
     wall = time.monotonic() - t0
     return BetweennessResult(
         bc=bc,
@@ -540,7 +541,7 @@ def betweenness_csr(
             factor = art.n / res.supersteps
             res.bc = res.bc.select(
                 "vertex", (F.col("bc") * F.lit(factor)).alias("bc")
-            ).localCheckpoint(eager=True)
+            ).localCheckpoint(eager=True).transform(guard_stats)
     finally:
         # the sweep eagerly checkpoints bc, so the artifact is disposable
         art.cleanup()

@@ -58,6 +58,7 @@ from parallel_betweenness_centrality_using_bsp_spark.operators.betweenness impor
     BetweennessResult,
     _source_batches,
 )
+from parallel_betweenness_centrality_using_bsp_spark.plans.superstep import guard_stats
 
 
 def _prepare_weighted_edges(
@@ -165,7 +166,7 @@ def betweenness_weighted(
             F.lit(1.0).alias("sigma"),
             F.lit(0).alias("hopd"),
             F.lit(True).alias("chg"),
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=True).transform(guard_stats)
         e_in = e.select(F.col("src").alias("u"), F.col("dst").alias("vertex"), "w")
         for _ in range(max_hops):
             frontier = state.where(F.col("chg"))
@@ -180,7 +181,7 @@ def betweenness_weighted(
                 )
                 .groupBy("source", "vertex")
                 .agg(F.min("cdist").alias("cdist"))
-                .localCheckpoint(eager=True)  # reused twice below
+                .localCheckpoint(eager=True).transform(guard_stats)  # reused twice below
             )
             su = state.select(
                 "source",
@@ -237,7 +238,7 @@ def betweenness_weighted(
             ).select(
                 "source", "vertex", "dist", "sigma", "hopd", F.lit(False).alias("chg")
             )
-            state = untouched.unionByName(tfinal).localCheckpoint(eager=True)
+            state = untouched.unionByName(tfinal).localCheckpoint(eager=True).transform(guard_stats)
             total_steps += 1
         dist = state.select("source", "vertex", "dist")
         dag_depth = int(
@@ -290,7 +291,7 @@ def betweenness_weighted(
         )
         delta = sv.select(
             "source", "vertex", F.lit(0.0).alias("delta")
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=True).transform(guard_stats)
         for _ in range(min(max(dag_depth - 1, 0), max_hops)):
             # δ(v) = Σ_{w succ} σ(v)/σ(w) · (1 + δ(w)) — recomputed in full
             # each round; stationary once rounds reach the DAG depth
@@ -310,7 +311,7 @@ def betweenness_weighted(
                 .select(
                     "source", "vertex", F.coalesce("d", F.lit(0.0)).alias("delta")
                 )
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=True).transform(guard_stats)
             )
             total_steps += 1
         dag_r.unpersist()
@@ -326,7 +327,7 @@ def betweenness_weighted(
             else bc_acc.unionByName(batch_bc)
             .groupBy("vertex")
             .agg(F.sum("bc").alias("bc"))
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=True).transform(guard_stats)
         dag.unpersist()
 
     scale = 1.0 if directed else 0.5

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from parallel_betweenness_centrality_using_bsp_spark.operators.edges import symmetrize
 from parallel_betweenness_centrality_using_bsp_spark.plans.superstep import IncrementalVisited
+from parallel_betweenness_centrality_using_bsp_spark.plans.superstep import guard_stats
 
 _BROADCAST_FRONTIER_MAX = 500_000
 
@@ -41,7 +42,7 @@ def bfs_distances(
 
     frontier = spark.createDataFrame(
         [(int(s), int(s), 0) for s in sources], "source long, vertex long, dist int"
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=True).transform(guard_stats)
     levels = [frontier]
     # O(1)-deep anti-join target at any depth (vs re-unioning all levels
     # every superstep = O(depth²) total scans on long-diameter graphs).
@@ -55,7 +56,7 @@ def bfs_distances(
             msgs.join(visited.df(), ["source", "vertex"], "left_anti")
             .distinct()
             .withColumn("dist", F.lit(d))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=True).transform(guard_stats)
         )
         if new_frontier.isEmpty():
             break

@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from parallel_betweenness_centrality_using_bsp_spark.operators.edges import symmetrize
+from parallel_betweenness_centrality_using_bsp_spark.plans.superstep import guard_stats
 
 
 def _priority(vcol) -> "F.Column":
@@ -76,7 +77,7 @@ def jones_plassmann_coloring(
         .unionByName(e.select(F.col("dst").alias("vertex")))
         .distinct()
         .select("vertex", _priority(F.col("vertex")).alias("prio"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True).transform(guard_stats)
     )
     colored = spark.createDataFrame([], "vertex long, color int, round int")
     k = 0
@@ -93,7 +94,7 @@ def jones_plassmann_coloring(
             und.join(nbr_min, "vertex", "left")
             .where(F.col("_m").isNull() | (F.col("prio") < F.col("_m")))
             .select("vertex")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=True).transform(guard_stats)
         )
         if winners.isEmpty():
             break
@@ -112,10 +113,10 @@ def jones_plassmann_coloring(
                 _mex(F.col("_cs")).alias("color"),
                 F.lit(k).alias("round"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=True).transform(guard_stats)
         )
-        colored = colored.unionByName(newly).localCheckpoint(eager=True)
-        und = und.join(newly, "vertex", "left_anti").localCheckpoint(eager=True)
+        colored = colored.unionByName(newly).localCheckpoint(eager=True).transform(guard_stats)
+        und = und.join(newly, "vertex", "left_anti").localCheckpoint(eager=True).transform(guard_stats)
         if und.isEmpty():
             break
 

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from parallel_betweenness_centrality_using_bsp_spark.operators.edges import symmetrize
 from parallel_betweenness_centrality_using_bsp_spark.plans.superstep import SuperstepRun, superstep_loop
+from parallel_betweenness_centrality_using_bsp_spark.plans.superstep import guard_stats
 
 
 def connected_components(
@@ -260,7 +261,7 @@ def _star_contraction(
     labels = (
         vertices.join(star, "vertex", "left")
         .select("vertex", F.coalesce("label", F.col("vertex")).alias("label"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True).transform(guard_stats)
     )
     vertices.unpersist()
     return SuperstepRun(
@@ -329,7 +330,7 @@ def incremental_components(
             F.coalesce("lv", F.col("dst")).alias("dst"),
         )
         .dropDuplicates(["src", "dst"])
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True).transform(guard_stats)
     )
     mapping = (
         connected_components(

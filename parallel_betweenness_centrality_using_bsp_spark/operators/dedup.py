@@ -45,6 +45,7 @@ from parallel_betweenness_centrality_using_bsp_spark.functions.hashing import (
     word_shingles,
 )
 from parallel_betweenness_centrality_using_bsp_spark.functions.text import fingerprint, tokens
+from parallel_betweenness_centrality_using_bsp_spark.plans.superstep import guard_stats
 
 log = logging.getLogger(__name__)
 
@@ -88,7 +89,7 @@ def cap_buckets(
     # the stats scan and the returned lazy anti-join read the checkpoint, so
     # the full bucket-size aggregation never recomputes when the caller
     # finally executes the candidate join.
-    over = sizes.where(F.col("_n") > max_bucket_size).localCheckpoint(eager=True)
+    over = sizes.where(F.col("_n") > max_bucket_size).localCheckpoint(eager=True).transform(guard_stats)
     stats = over.agg(
         F.count(F.lit(1)).alias("buckets"), F.coalesce(F.sum("_n"), F.lit(0)).alias("rows")
     ).first()
@@ -173,7 +174,7 @@ def minhash_candidate_pairs(
         keyed.select("id", F.posexplode("bk").alias("band", "bh"))
         # Materialize ONCE: the self-join below would otherwise re-run the
         # whole shingle+signature pipeline for each side.
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True).transform(guard_stats)
     )
     if max_bucket_size is not None:
         sig = cap_buckets(sig, ["band", "bh"], max_bucket_size,
@@ -289,7 +290,7 @@ def simhash_dedup_pairs(
     ).select("id", "fp", F.col("c.band").alias("band"), F.col("c.key").alias("key"))
     # Materialize ONCE so the self-join doesn't recompute the 60-64
     # aggregation pipeline for each side.
-    chunks = chunks.localCheckpoint(eager=True)
+    chunks = chunks.localCheckpoint(eager=True).transform(guard_stats)
     if max_bucket_size is not None:
         chunks = cap_buckets(chunks, ["band", "key"], max_bucket_size,
                              "simhash_dedup_pairs", drop_stats)

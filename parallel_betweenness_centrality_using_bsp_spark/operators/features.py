@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from parallel_betweenness_centrality_using_bsp_spark.plans.superstep import guard_stats
 
 
 def deterministic_sample(
@@ -231,7 +232,7 @@ def tf_idf_terms(
     tf = (
         toks.groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True).transform(guard_stats)
     )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dfq"))
     nd = tf.agg(F.countDistinct("doc_id").cast("double").alias("nd"))
@@ -295,7 +296,7 @@ def k_hop_feature_means(
         edges, features, id_col=id_col, vec_col=vec_col, dims=dims
     )
     for _ in range(hops - 1):
-        state = state.localCheckpoint(eager=True)
+        state = state.localCheckpoint(eager=True).transform(guard_stats)
         state = (
             edges.select("src", "dst")
             .join(
@@ -328,7 +329,7 @@ def unigram_surprisal(
         F.explode(
             F.regexp_extract_all(F.lower(F.trim(F.col(text_col))), F.lit(r"\S+"), 0)
         ).alias("term"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=True).transform(guard_stats)
     tcounts = toks.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("cnt"))
     tot = toks.agg(F.count(F.lit(1)).cast("double").alias("n"))
     return (
@@ -360,7 +361,7 @@ def community_feature_centroids(
     """
     f = features.select(F.col(id_col).alias("vertex"), F.col(vec_col).alias("_v"))
     j = labels.select("vertex", F.col(label_col).alias("label")).join(f, "vertex")
-    j = j.localCheckpoint(eager=True)  # sizes + explode share one scan
+    j = j.localCheckpoint(eager=True).transform(guard_stats)  # sizes + explode share one scan
     sizes = j.groupBy("label").agg(F.count(F.lit(1)).alias("size"))
     ex = j.select(
         "label",
@@ -409,7 +410,7 @@ def bm25_scores(
     tf = (
         toks.groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True).transform(guard_stats)
     )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dfq"))
     nd = tf.agg(F.countDistinct("doc_id").cast("double").alias("nd"))

@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 
 from parallel_betweenness_centrality_using_bsp_spark.operators.edges import symmetrize
 from parallel_betweenness_centrality_using_bsp_spark.plans.superstep import SuperstepRun, superstep_loop
+from parallel_betweenness_centrality_using_bsp_spark.plans.superstep import guard_stats
 
 
 def label_propagation(
@@ -218,7 +219,7 @@ def louvain_one_level(
         if labels is not None
         else deg.select("vertex", F.col("vertex").alias("label"))
     )
-    state = state.localCheckpoint(eager=True)
+    state = state.localCheckpoint(eager=True).transform(guard_stats)
 
     for r in range(rounds):
         stot = (
@@ -275,7 +276,7 @@ def louvain_one_level(
             .select(
                 "vertex", F.coalesce("new_label", F.col("label")).alias("label")
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=True).transform(guard_stats)
         )
     und.unpersist()
     return state
@@ -293,10 +294,10 @@ def modularity(spark: SparkSession, edges: DataFrame, labels: DataFrame,
     which case the aggregation's map-side combine already collapses the
     skew.  The 2m total rides in-plan as a broadcast 1-row aggregate.
     """
-    und = symmetrize(edges).localCheckpoint(eager=True)
+    und = symmetrize(edges).localCheckpoint(eager=True).transform(guard_stats)
     la = labels.select(F.col("vertex").alias("src"), F.col(label_col).alias("la"))
     lb = labels.select(F.col("vertex").alias("dst"), F.col(label_col).alias("lb"))
-    j = und.join(la, "src").join(lb, "dst").localCheckpoint(eager=True)
+    j = und.join(la, "src").join(lb, "dst").localCheckpoint(eager=True).transform(guard_stats)
     m2 = j.agg(F.count(F.lit(1)).cast("double").alias("m2"))
     inner = (
         j.where(F.col("la") == F.col("lb"))
@@ -335,10 +336,10 @@ def conductance(spark: SparkSession, edges: DataFrame, labels: DataFrame,
     1-row aggregate.  volume and cut stay exact LONGs; φ is the only
     float (communities spanning the whole graph get φ = NULL — min(vol,
     2m−vol) = 0 has no defined boundary)."""
-    und = symmetrize(edges).localCheckpoint(eager=True)
+    und = symmetrize(edges).localCheckpoint(eager=True).transform(guard_stats)
     la = labels.select(F.col("vertex").alias("src"), F.col(label_col).alias("la"))
     lb = labels.select(F.col("vertex").alias("dst"), F.col(label_col).alias("lb"))
-    j = und.join(la, "src").join(lb, "dst").localCheckpoint(eager=True)
+    j = und.join(la, "src").join(lb, "dst").localCheckpoint(eager=True).transform(guard_stats)
     m2 = j.agg(F.count(F.lit(1)).alias("m2"))
     per = j.groupBy(F.col("la").alias("community")).agg(
         F.count(F.lit(1)).alias("volume"),

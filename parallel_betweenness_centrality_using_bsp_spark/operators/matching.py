@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from parallel_betweenness_centrality_using_bsp_spark.operators.edges import symmetrize
+from parallel_betweenness_centrality_using_bsp_spark.plans.superstep import guard_stats
 
 
 def _edge_priority(src, dst) -> "F.Column":
@@ -66,7 +67,7 @@ def greedy_matching(
         .select(
             "src", "dst", _edge_priority(F.col("src"), F.col("dst")).alias("prio")
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True).transform(guard_stats)
     )
 
     matched: list[DataFrame] = []
@@ -84,7 +85,7 @@ def greedy_matching(
             .join(vmin.withColumnRenamed("vertex", "dst"), "dst")
             .where(F.col("prio") == F.col("_m"))
             .select("src", "dst")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=True).transform(guard_stats)
         )
         if winners.isEmpty():
             break
@@ -98,7 +99,7 @@ def greedy_matching(
             live.join(gone.withColumnRenamed("vertex", "src"), "src", "left_anti")
             .join(gone.withColumnRenamed("vertex", "dst"), "dst", "left_anti")
             .select("src", "dst", "prio")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=True).transform(guard_stats)
         )
 
     out = live.select("src", "dst", F.lit(-1).alias("round"))

@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from parallel_betweenness_centrality_using_bsp_spark.operators.edges import symmetrize
+from parallel_betweenness_centrality_using_bsp_spark.plans.superstep import guard_stats
 
 
 def _priority(vcol) -> "F.Column":
@@ -64,7 +65,7 @@ def luby_mis(
         .unionByName(e.select(F.col("dst").alias("vertex")))
         .distinct()
         .select("vertex", _priority(F.col("vertex")).alias("prio"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True).transform(guard_stats)
     )
     decided: list[DataFrame] = []
     k = 0
@@ -82,7 +83,7 @@ def luby_mis(
             und.join(nbr_min, "vertex", "left")
             .where(F.col("_m").isNull() | (F.col("prio") < F.col("_m")))
             .select("vertex")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=True).transform(guard_stats)
         )
         if winners.isEmpty():
             break
@@ -92,7 +93,7 @@ def luby_mis(
             .distinct()
             .join(und.select("vertex"), "vertex", "left_semi")
             .join(winners, "vertex", "left_anti")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=True).transform(guard_stats)
         )
         decided.append(
             winners.select("vertex", F.lit("in").alias("status"), F.lit(k).alias("round"))
@@ -103,7 +104,7 @@ def luby_mis(
             )
         )
         gone = winners.unionByName(dominated)
-        und = und.join(gone, "vertex", "left_anti").localCheckpoint(eager=True)
+        und = und.join(gone, "vertex", "left_anti").localCheckpoint(eager=True).transform(guard_stats)
         if und.isEmpty():
             break
 

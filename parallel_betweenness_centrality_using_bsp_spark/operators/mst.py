@@ -38,6 +38,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from parallel_betweenness_centrality_using_bsp_spark.plans.superstep import guard_stats
 
 
 
@@ -70,14 +71,14 @@ def boruvka_forest(
         .groupBy("src", "dst")
         .agg(F.min("w").alias("w"))  # parallel edges: keep the lightest
         .repartition(p, "src")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True).transform(guard_stats)
     )
     labels = (
         e.select(F.col("src").alias("vertex"))
         .unionByName(e.select(F.col("dst").alias("vertex")))
         .distinct()
         .select("vertex", F.col("vertex").alias("comp"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True).transform(guard_stats)
     )
 
     chosen: list[DataFrame] = []
@@ -94,7 +95,7 @@ def boruvka_forest(
                 "dst",
             )
             .where(F.col("cu") != F.col("cv"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=True).transform(guard_stats)
         )
         if ec.isEmpty():
             break
@@ -106,7 +107,7 @@ def boruvka_forest(
             .agg(F.min(F.struct("w", "src", "dst")).alias("m"))
             .select("m.src", "m.dst", "m.w")
             .distinct()  # an edge minimal for BOTH endpoints' components
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=True).transform(guard_stats)
         )
         chosen.append(sel.select("src", "dst", "w", F.lit(k).alias("round")))
 
@@ -131,14 +132,14 @@ def boruvka_forest(
             .select(
                 "vertex", F.coalesce(F.col("label"), F.col("comp")).alias("comp")
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=True).transform(guard_stats)
         )
         # the forest edge set keeps only still-relevant cross edges
         e = (
             ec.select("src", "dst", "w")
             .join(sel.select("src", "dst"), ["src", "dst"], "left_anti")
             .repartition(p, "src")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=True).transform(guard_stats)
         )
 
     out = None

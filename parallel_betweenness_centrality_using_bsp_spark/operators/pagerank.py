@@ -123,7 +123,17 @@ def pagerank(
 
     initial = tele.select("vertex", F.col("t").alias("pr"))
 
-    def step(state: DataFrame, _k: int) -> DataFrame:
+    # Convergence L1 is computed IN the step's own plan as a per-row
+    # ``_diff`` column (old state re-enters on the co-partitioned vertex
+    # key), so the convergence check degrades from r4's separate
+    # join+full-aggregate JOB per superstep to a bare scan-agg over the
+    # just-materialized state — no join, no second pass over edges.  (A
+    # CollectMetrics/Observation would fold even the scan into the barrier
+    # action, but observe() + AQE sent the optimizer into a busy loop on
+    # this iterative plan shape — measured minutes per superstep — so the
+    # cheap explicit scan wins.)
+
+    def step(state: DataFrame, k: int) -> DataFrame:
         # Dangling mass stays INSIDE the plan as a broadcast 1-row aggregate
         # (vs a driver-side collect): one Spark job per superstep instead of
         # two — on an iterative workload the extra job's scheduling latency
@@ -143,7 +153,7 @@ def pagerank(
             .groupBy("vertex")
             .agg(F.sum("c").alias("c"))
         )
-        return (
+        new = (
             tele.join(contribs, "vertex", "left")
             .join(F.broadcast(dm))
             .select(
@@ -155,15 +165,21 @@ def pagerank(
                 ).alias("pr"),
             )
         )
+        if tol > 0:
+            old = state.select("vertex", F.col("pr").alias("_old"))
+            new = (
+                new.join(old, "vertex", "left")
+                .withColumn(
+                    "_diff", F.abs(F.col("pr") - F.coalesce("_old", F.lit(0.0)))
+                )
+                .drop("_old")
+            )
+        return new
 
-    def converged(old: DataFrame, new: DataFrame) -> bool:
-        l1 = (
-            new.alias("a")
-            .join(old.alias("b"), "vertex")
-            .agg(F.sum(F.abs(F.col("a.pr") - F.col("b.pr"))))
-            .collect()[0][0]
-        )
-        return float(l1) < tol * n
+    def converged(_old: DataFrame, new: DataFrame) -> bool:
+        # ``new`` is already materialized: this is a bare scan-agg, no join
+        l1 = new.agg(F.sum("_diff")).collect()[0][0]
+        return l1 is not None and float(l1) < tol * n
 
     run = superstep_loop(
         spark,
@@ -184,6 +200,8 @@ def pagerank(
     vertices.unpersist()
     dangling.unpersist()
     tele.unpersist()
+    if "_diff" in run.state.columns:
+        run.state = run.state.drop("_diff")
     return run
 
 

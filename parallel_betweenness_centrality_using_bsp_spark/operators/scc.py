@@ -35,6 +35,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from parallel_betweenness_centrality_using_bsp_spark.plans.superstep import guard_stats
 
 
 def strongly_connected_components(
@@ -53,13 +54,13 @@ def strongly_connected_components(
         .where(F.col("src") != F.col("dst"))
         .dropDuplicates(["src", "dst"])
         .repartition(p, "src")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True).transform(guard_stats)
     )
     verts = (
         edges.select(F.col("src").alias("vertex"))
         .unionByName(edges.select(F.col("dst").alias("vertex")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True).transform(guard_stats)
     )
 
     assigned = spark.createDataFrame([], "vertex long, scc long")
@@ -82,7 +83,7 @@ def strongly_connected_components(
                 F.col("vertex").alias("v"),
             ).alias("color"),
         )
-        color = color.localCheckpoint(eager=True)
+        color = color.localCheckpoint(eager=True).transform(guard_stats)
         frontier = color  # rows whose color changed last superstep
         while True:
             msgs = (
@@ -99,7 +100,7 @@ def strongly_connected_components(
                     F.greatest(F.col("c.color"), F.col("m.cand")).alias("color"),
                     (F.col("m.cand") > F.col("c.color")).alias("_chg"),
                 )
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=True).transform(guard_stats)
             )
             frontier = merged.where(F.col("_chg")).select("vertex", "color")
             color = merged.select("vertex", "color")
@@ -114,11 +115,11 @@ def strongly_connected_components(
             .join(color.withColumnRenamed("vertex", "dst").withColumnRenamed("color", "dc"), "dst")
             .where(F.col("sc") == F.col("dc"))
             .select(F.col("dst").alias("r_src"), F.col("src").alias("r_dst"), F.col("sc").alias("color"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=True).transform(guard_stats)
         )
         scc_members = color.where(F.col("vertex") == F.col("color.v")).select(
             "vertex", "color"
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=True).transform(guard_stats)
         frontier = scc_members
         while not frontier.isEmpty():
             nxt = (
@@ -130,11 +131,11 @@ def strongly_connected_components(
                 .select(F.col("r_dst").alias("vertex"), colored_e.color.alias("color"))
                 .distinct()
                 .join(scc_members, ["vertex", "color"], "left_anti")
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=True).transform(guard_stats)
             )
             frontier = nxt
             if not nxt.isEmpty():
-                scc_members = scc_members.unionByName(nxt).localCheckpoint(eager=True)
+                scc_members = scc_members.unionByName(nxt).localCheckpoint(eager=True).transform(guard_stats)
 
         # -- 4. canonicalize labels, peel, induce the rest -----------------
         labels = (
@@ -143,12 +144,12 @@ def strongly_connected_components(
             .join(scc_members, "color")
             .select("vertex", "scc")
         )
-        assigned = assigned.unionByName(labels).localCheckpoint(eager=True)
-        remaining = remaining.join(labels.select("vertex"), "vertex", "left_anti").localCheckpoint(eager=True)
+        assigned = assigned.unionByName(labels).localCheckpoint(eager=True).transform(guard_stats)
+        remaining = remaining.join(labels.select("vertex"), "vertex", "left_anti").localCheckpoint(eager=True).transform(guard_stats)
         e = (
             e.join(labels.select(F.col("vertex").alias("src")), "src", "left_anti")
             .join(labels.select(F.col("vertex").alias("dst")), "dst", "left_anti")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=True).transform(guard_stats)
         )
     else:
         n_left = remaining.count()
@@ -192,13 +193,13 @@ def dag_longest_path_layers(
     and the round count is the DAG's longest path.  Input MUST be acyclic
     (feed the SCC condensation for arbitrary graphs) — a cycle would never
     converge, so rounds are capped and overrunning raises."""
-    e = dag_edges.select("src", "dst").dropDuplicates(["src", "dst"]).localCheckpoint(eager=True)
+    e = dag_edges.select("src", "dst").dropDuplicates(["src", "dst"]).localCheckpoint(eager=True).transform(guard_stats)
     verts = vertices or (
         e.select(F.col("src").alias("vertex"))
         .unionByName(e.select(F.col("dst").alias("vertex")))
         .distinct()
     )
-    layer = verts.select("vertex", F.lit(0).alias("layer")).localCheckpoint(eager=True)
+    layer = verts.select("vertex", F.lit(0).alias("layer")).localCheckpoint(eager=True).transform(guard_stats)
     frontier = layer
     for _ in range(max_rounds):
         msgs = (
@@ -215,7 +216,7 @@ def dag_longest_path_layers(
                 F.greatest(F.col("l.layer"), F.col("m.cand")).alias("layer"),
                 (F.col("m.cand") > F.col("l.layer")).alias("_chg"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=True).transform(guard_stats)
         )
         frontier = merged.where(F.col("_chg")).select("vertex", "layer")
         layer = merged.select("vertex", "layer")

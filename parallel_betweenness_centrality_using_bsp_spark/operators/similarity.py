@@ -22,6 +22,7 @@ from pyspark.sql.functions import pandas_udf
 
 from parallel_betweenness_centrality_using_bsp_spark.functions.vectors import cosine
 from parallel_betweenness_centrality_using_bsp_spark.operators.dedup import DEFAULT_MAX_BUCKET_SIZE
+from parallel_betweenness_centrality_using_bsp_spark.plans.superstep import guard_stats
 
 
 def brute_force_topk(
@@ -387,7 +388,7 @@ def embedding_neardup_pairs(
         from parallel_betweenness_centrality_using_bsp_spark.operators.dedup import cap_buckets
 
         b = cap_buckets(
-            b.localCheckpoint(eager=True), ["bucket"], max_bucket_size,
+            b.localCheckpoint(eager=True).transform(guard_stats), ["bucket"], max_bucket_size,
             "embedding_neardup_pairs", drop_stats,
         )
     l, r = b.alias("l"), b.alias("r")
@@ -453,7 +454,7 @@ def kmeans_rounds(
             F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "val"),
         )
         .repartition(p, "vec_id")
-        .localCheckpoint(eager=True)  # reused every round: explode once
+        .localCheckpoint(eager=True).transform(guard_stats)  # reused every round: explode once
     )
     # Seed centroids from the k SMALLEST actual ids (not `id < k`, which
     # silently under-seeds on 1-based/sparse id spaces).  The id relation is
@@ -487,7 +488,7 @@ def kmeans_rounds(
             "vec_id", F.col("_m.cid").alias("cluster"), F.col("_m.d2").alias("d2")
         )
         if r < rounds - 1:
-            asg = asg.localCheckpoint(eager=True)
+            asg = asg.localCheckpoint(eager=True).transform(guard_stats)
             cent = (
                 ex.join(asg.select("vec_id", F.col("cluster").alias("cid")), "vec_id")
                 .groupBy("cid", "pos")

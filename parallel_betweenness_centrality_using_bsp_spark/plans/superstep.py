@@ -101,8 +101,44 @@ def _materialize(
         df.write.mode("overwrite").parquet(path)
         out = spark.read.parquet(path)
         return out, out.count()
-    out = df.localCheckpoint(eager=True)
+    out = guard_stats(df.localCheckpoint(eager=True))
     return out, (out.count() if count_rows else -1)
+
+
+# Catalyst's simple size estimate (sizeInBytes) multiplies through joins as
+# an unbounded BigInt and SURVIVES localCheckpoint (the LogicalRDD inherits
+# the child plan's stats).  A step plan that references the checkpointed
+# state k>=2 times therefore multiplies k state-sized estimates every
+# superstep: the estimate's DIGIT COUNT grows k× per round, and planner
+# time goes exponential — profiled to BigInteger.multiplyToomCook3 eating
+# whole seconds per superstep by round ~20 of a 2-reference kernel, with
+# logical plan and RDD lineage both perfectly flat.  Single-reference
+# kernels grow ~3 digits/round (linear, harmless), so a high digit
+# threshold distinguishes the two.
+_STATS_DIGIT_CAP = 2000
+
+
+def guard_stats(out: DataFrame) -> DataFrame:
+    """Rebuild ``out`` over its own checkpointed rows when its inherited
+    size estimate has gone pathological, resetting stats to the default.
+    The rebuilt frame loses partitioning metadata (one state-side exchange
+    in the next superstep's join — re-established at the following
+    materialization), which is why this fires only past the cap and not on
+    every superstep.  Chain as ``.localCheckpoint(eager=True)
+    .transform(guard_stats)`` on any state that re-enters its own next
+    round's plan."""
+    try:
+        jqe = out._jdf.queryExecution()
+        if len(str(jqe.optimizedPlan().stats().sizeInBytes())) <= _STATS_DIGIT_CAP:
+            return out
+        fresh = out.sparkSession._jsparkSession.internalCreateDataFrame(
+            jqe.toRdd(), out._jdf.schema(), False
+        )
+        return DataFrame(fresh, out.sparkSession)
+    except Exception:
+        # non-classic sessions (Connect) expose no plan internals; the
+        # checkpointed frame itself is always correct
+        return out
 
 
 def _partition_metrics(df: DataFrame) -> list[tuple[int, int]]:

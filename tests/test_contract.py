@@ -2,8 +2,11 @@
 produce identical (row count, columns, values-to-6dp) results to its DuckDB
 twin at sf0.001 — a fast in-suite mirror of the driver's CORRECTNESS gate.
 
-A representative subset runs here to keep the suite quick; the full set runs
-via ``python scripts/check_contract.py`` at sf0.01.
+EVERY registry query runs here (the driver's per-round gate samples ~50 of
+them with a different sample each round; this file is what certifies the
+unsampled rest, so ``python -m pytest -x -q`` alone covers all of them).
+The heavier sf0.01 sweep stays available via
+``python scripts/check_contract.py``.
 """
 from __future__ import annotations
 
@@ -21,55 +24,9 @@ TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()
 
-SUBSET = [
-    "q1_pricing_summary",
-    "q5_region_revenue",
-    "top_customer_per_nation",
-    "nation_set_ops",
-    "events_daily",
-    "events_windowed",
-    "doc_token_stats",
-    "doc_lang_id",
-    "doc_quality_topk",
-    "doc_tfidf_top3",
-    "doc_sample_stats",
-    "jaccard_pairs_exact",
-    "training_set_selection",
-    "orders_rollup",
-    "events_cube",
-    "events_followup_counts",
-    "events_asof_prev",
-    "user_sessions",
-    "similarity_topk",
-    "graph_degree_topk",
-    "graph_triangle_count",
-    "graph_components",
-    "graph_pagerank5",
-    "graph_ppr5",
-    "graph_neighbor_features",
-    "graph_neighbor_features_2hop",
-    "graph_random_walks",
-    "graph_labelprop3",
-    "graph_betweenness",
-    "graph_bfs_dist",
-    "graph_sssp",
-    "graph_harmonic",
-    "graph_eccentricity",
-    "dedup_kept_count",
-    # this session's additions
-    "graph_coreness3",
-    "graph_matching3",
-    "graph_wl3",
-    "graph_salsa3",
-    "graph_profile_summary",
-    "graph_motif_open2path",
-    "graph_boruvka2",
-    "graph_rank_correlation",
-    "training_mix_by_lang",
-    "doc_pack_sequences",
-    "doc_encoded_sample",
-    "events_funnel",
-]
+import __spark_entry__ as _entry
+
+SUBSET = sorted(_entry.queries().keys())
 
 
 @pytest.fixture(scope="module")
