@@ -2541,6 +2541,70 @@ def graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source", "vertex")
 
 
+SSSP_BF_ROUNDS = 16  # ≥ measured weighted-hop diameter at every shipped sf
+                     # (11 at sf0.001, 6 at sf0.01, 4 at sf0.1) — the unrolled
+                     # oracle is converged, so it equals TRUE shortest dists
+
+
+def graph_sssp_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-stepping SSSP (Δ=2, Meyer & Sanders bucketed Dijkstra as a BSP
+    frontier predicate) run to its fixpoint — the TRUE shortest weighted
+    distances, unlike graph_sssp's hop-capped mode.  The oracle unrolls
+    Bellman-Ford min-fold rounds past the measured weighted-hop diameter of
+    every shipped scale factor, so both sides are converged and identical.
+    Gates the delta_width code path (bucket limits, pending-row queueing)
+    under the driver's hash check, not just pytest."""
+    from parallel_betweenness_centrality_using_bsp_spark.operators.sssp import sssp
+
+    e = _order_edges(spark, sf_dir).select(
+        "src", "dst", ((F.col("src") + F.col("dst")) % 7 + 1).alias("w")
+    )
+    verts = (
+        e.select(F.col("src").alias("vertex"))
+        .unionByName(e.select(F.col("dst").alias("vertex")))
+        .distinct()
+    )
+    sources = sorted(r["vertex"] for r in verts.where(F.col("vertex") < 8).collect())
+    return sssp(
+        spark, e, sources, max_hops=200, early_stop=True, delta_width=2
+    ).orderBy("source", "vertex")
+
+
+def _sssp_delta_sql() -> str:
+    """Bellman-Ford unrolled to SSSP_BF_ROUNDS min-fold rounds: each round's
+    relation is capped at |sources|x|vertices| rows (unlike the path-walk
+    recursive CTE, whose distinct (path-cost, hops) pairs explode past ~10
+    hops), so running it to convergence stays cheap."""
+    # every CTE is MATERIALIZED: each round references its predecessor twice,
+    # so DuckDB's default inlining would expand the chain exponentially (and
+    # re-open the parquet scan under wund once per copy — EMFILE in practice)
+    rounds = [
+        "d0 AS MATERIALIZED (SELECT s::BIGINT AS s, s::BIGINT AS v,"
+        " 0::BIGINT AS dist FROM src)"
+    ]
+    for k in range(SSSP_BF_ROUNDS):
+        rounds.append(
+            f"""d{k + 1} AS MATERIALIZED (
+                SELECT s, v, min(dist) AS dist FROM (
+                    SELECT s, v, dist FROM d{k}
+                    UNION ALL
+                    SELECT d.s, u.dst AS v, d.dist + u.w AS dist
+                    FROM d{k} d JOIN wund u ON u.src = d.v
+                ) GROUP BY s, v
+            )"""
+        )
+    chain = ",\n".join(rounds)
+    return f"""
+        WITH {_EDGES_SQL},
+        wund AS MATERIALIZED (
+            SELECT src, dst, (src + dst) % 7 + 1 AS w FROM und),
+        src AS (SELECT vertex AS s FROM vertices WHERE vertex < 8),
+        {chain}
+        SELECT s AS source, v AS vertex, dist
+        FROM d{SSSP_BF_ROUNDS} ORDER BY source, vertex
+    """
+
+
 def graph_neighbor_features_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two message-passing layers: hop 2 averages the in-neighbors' hop-1
     means (the GraphSAGE layer stack), first 4 dims."""
@@ -3814,6 +3878,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_bfs_dist": graph_bfs_dist,
         "graph_diameter_sweep": graph_diameter_sweep,
         "graph_sssp": graph_sssp,
+        "graph_sssp_delta": graph_sssp_delta,
         "graph_hits3": graph_hits3,
         "graph_salsa3": graph_salsa3,
         "graph_boruvka2": graph_boruvka2,
@@ -4361,6 +4426,7 @@ ORDER BY n_hits DESC, doc_id LIMIT 50
             SELECT s AS source, v AS vertex, min(d) AS dist
             FROM walk GROUP BY s, v ORDER BY source, vertex
         """,
+        "graph_sssp_delta": _sssp_delta_sql(),
         "graph_neighbor_features_2hop": f"""
             WITH {_EDGES_SQL},
             f AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
