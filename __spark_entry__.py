@@ -1151,6 +1151,30 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_triples(spark, e).agg(F.count(F.lit(1)).alias("n_triangles"))
 
 
+def graph_triangles_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental triangle maintenance: a deterministic 90/10 hash split of
+    the edge table plays the roles of existing graph and crawl delta; the
+    cold kernel counts the 90% base, then ``incremental_triangles`` folds
+    the 10% delta in via delta-edge inclusion–exclusion — never rescanning
+    the base wedge space.  ORACLE-GATED against the FULL-graph count twin:
+    base + new == cold-full by construction."""
+    from parallel_betweenness_centrality_using_bsp_spark.operators.triangles import (
+        incremental_triangles,
+        triangle_triples,
+    )
+
+    e = _order_edges(spark, sf_dir)
+    bucket = F.pmod(F.xxhash64("src", "dst"), F.lit(10))
+    base, delta = e.where(bucket < 9), e.where(bucket >= 9)
+    cold_base = triangle_triples(spark, base).agg(
+        F.count(F.lit(1)).alias("base_triangles")
+    )
+    new = incremental_triangles(spark, base, delta)
+    return cold_base.crossJoin(new).select(
+        (F.col("base_triangles") + F.col("new_triangles")).alias("n_triangles")
+    )
+
+
 def graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from parallel_betweenness_centrality_using_bsp_spark.operators.components import connected_components
 
@@ -3849,6 +3873,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_degree_topk": graph_degree_topk,
         "graph_assortativity": graph_assortativity,
         "graph_triangle_count": graph_triangle_count,
+        "graph_triangles_incremental": graph_triangles_incremental,
         "graph_components": graph_components,
         "graph_components_incremental": graph_components_incremental,
         "graph_components_star": graph_components_star,
@@ -4308,6 +4333,14 @@ ORDER BY n_hits DESC, doc_id LIMIT 50
         """,
         "graph_assortativity": _assortativity_sql(),
         "graph_triangle_count": f"""
+            WITH {_EDGES_SQL}
+            SELECT count(*) AS n_triangles
+            FROM und e1 JOIN und e2 ON e1.dst = e2.src
+                        JOIN und e3 ON e3.src = e1.src AND e3.dst = e2.dst
+            WHERE e1.src < e1.dst AND e2.src < e2.dst
+        """,
+        # the incremental path must land on the identical full-graph number
+        "graph_triangles_incremental": f"""
             WITH {_EDGES_SQL}
             SELECT count(*) AS n_triangles
             FROM und e1 JOIN und e2 ON e1.dst = e2.src

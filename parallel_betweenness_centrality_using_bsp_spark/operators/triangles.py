@@ -84,6 +84,104 @@ def triangles_per_vertex(
     return corners.groupBy("vertex").agg(F.count(F.lit(1)).alias("triangles"))
 
 
+def incremental_triangles(
+    spark: SparkSession,
+    base_edges: DataFrame,
+    delta_edges: DataFrame,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """1-row (new_triangles long): triangles created by adding ``delta_edges``
+    to ``base_edges`` — WITHOUT rescanning the base wedge space.
+
+    Every new triangle contains ≥1 delta edge, so inclusion–exclusion over
+    how many of its 3 edges are delta gives
+
+        new = S1 − S2 + S3
+        S1 = Σ over delta edges (u,v) of |N_A(u) ∩ N_A(v)|   (= T1+2T2+3T3)
+        S2 = # delta-edge pairs sharing a vertex, closed by any A edge
+                                                              (= T2+3T3)
+        S3 = # triangles entirely inside the delta            (= T3)
+
+    where A = base ∪ delta (undirected, deduplicated) and Ti = new triangles
+    with exactly i delta edges.  Work is delta-sized: S1 expands each delta
+    edge from its LOWER-degree endpoint (per-edge cost min(deg u, deg v),
+    the same last-reducer defense as the cold kernel's orientation), S2 is
+    a |delta|² self-join bounded by the delta's own degree distribution,
+    S3 runs the cold oriented kernel on the delta alone.  The base wedge
+    space — the O(m·sqrt(m)) term a cold recount pays — is never touched;
+    base adjacency rows are only streamed through delta-keyed joins.
+
+    Delta edges already present in the base are dropped (they create
+    nothing), so callers may pass an overlapping delta safely.  Total count
+    after the delta = cold count of the base + this row."""
+    p = num_partitions or spark.sparkContext.defaultParallelism
+    base = symmetrize(base_edges)
+    delta = (
+        symmetrize(delta_edges)
+        .join(base, ["src", "dst"], "left_anti")
+        .repartition(p, "src")
+        .persist()
+    )
+    a = base.unionByName(delta).repartition(p, "src").persist()
+    a.count()
+
+    # S1 — expand from the lower-(degree, id) endpoint of each delta edge
+    deg = a.groupBy(F.col("src").alias("v")).agg(F.count(F.lit(1)).alias("deg"))
+    cd = (
+        delta.where(F.col("src") < F.col("dst"))
+        .join(deg.select(F.col("v").alias("src"), F.col("deg").alias("sdeg")), "src")
+        .join(deg.select(F.col("v").alias("dst"), F.col("deg").alias("ddeg")), "dst")
+    )
+    low_first = (F.col("sdeg") < F.col("ddeg")) | (
+        (F.col("sdeg") == F.col("ddeg")) & (F.col("src") < F.col("dst"))
+    )
+    xy = cd.select(
+        F.when(low_first, F.col("src")).otherwise(F.col("dst")).alias("x"),
+        F.when(low_first, F.col("dst")).otherwise(F.col("src")).alias("y"),
+    )
+    # alias: xy's lineage includes delta, which is also a branch of `a`
+    wedges = (
+        xy.alias("xy")
+        .join(a.alias("aw"), F.col("xy.x") == F.col("aw.src"))
+        .select(
+            F.col("xy.x").alias("x"),
+            F.col("xy.y").alias("y"),
+            F.col("aw.dst").alias("w"),
+        )
+    )
+    s1 = wedges.join(
+        a.select(F.col("src").alias("y"), F.col("dst").alias("w")),
+        ["y", "w"],
+        "left_semi",
+    ).agg(F.count(F.lit(1)).alias("s1"))
+
+    # S2 — unordered pairs of delta edges sharing a vertex, closed in A
+    d1, d2 = delta.alias("d1"), delta.alias("d2")
+    pairs = (
+        d1.join(d2, F.col("d1.src") == F.col("d2.src"))
+        .where(F.col("d1.dst") < F.col("d2.dst"))
+        .select(F.col("d1.dst").alias("pa"), F.col("d2.dst").alias("pb"))
+    )
+    s2 = pairs.join(
+        a.select(F.col("src").alias("pa"), F.col("dst").alias("pb")),
+        ["pa", "pb"],
+        "left_semi",
+    ).agg(F.count(F.lit(1)).alias("s2"))
+
+    # S3 — triangles entirely inside the (small) delta
+    s3 = triangle_triples(spark, delta, num_partitions).agg(
+        F.count(F.lit(1)).alias("s3")
+    )
+
+    return (
+        s1.crossJoin(s2)
+        .crossJoin(s3)
+        .select(
+            (F.col("s1") - F.col("s2") + F.col("s3")).alias("new_triangles")
+        )
+    )
+
+
 def local_clustering_coefficients(
     spark: SparkSession, edges: DataFrame, num_partitions: int | None = None
 ) -> DataFrame:
