@@ -102,6 +102,17 @@ def main() -> None:
 
     timed("triangle_count", lambda: triangle_count(spark, g))
 
+    # same delta story for triangles: 1% new edges folded in by delta-edge
+    # inclusion-exclusion; compare against the cold triangle_count row above
+    from parallel_betweenness_centrality_using_bsp_spark.operators.triangles import (
+        incremental_triangles,
+    )
+
+    timed(
+        "triangles_incremental_1pct",
+        lambda: incremental_triangles(spark, g, delta_edges).collect(),
+    )
+
     from parallel_betweenness_centrality_using_bsp_spark.operators.hits import hits as _hits
     from parallel_betweenness_centrality_using_bsp_spark.operators.scc import (
         strongly_connected_components as _scc,

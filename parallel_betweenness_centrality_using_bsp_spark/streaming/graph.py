@@ -97,3 +97,95 @@ def run_hot_vertices_once(
         .start()
     )
     q.awaitTermination()
+
+
+# ---------------------------------------------------------------------------
+# Streaming × batch maintenance loop: incremental triangle counting over an
+# edge stream.  Each micro-batch of crawled edges is folded into a running
+# (edge set, triangle count) state via the delta-sized inclusion–exclusion
+# kernel (operators.triangles.incremental_triangles) — the accumulated edge
+# set is only ever streamed through delta-keyed joins, never re-wedged.
+# This closes the same loop as pagerank_warm_start and
+# incremental_components: the stream maintains freshness, the batch kernel
+# does delta-sized work per trigger.
+# ---------------------------------------------------------------------------
+
+
+def fold_edge_batch(spark: SparkSession, batch: DataFrame, state_dir: str) -> int:
+    """Fold one batch of (src, dst) edges into the maintenance state under
+    ``state_dir`` (``edges/``: accumulated canonical edge set, parquet;
+    ``count/``: 1-row running total) and return the new total.
+
+    The new-edge set appended to ``edges/`` is the batch anti-joined against
+    the accumulated set, so replaying the same batch (foreachBatch retry
+    semantics) adds zero edges and zero triangles — the fold is idempotent
+    per batch content."""
+    import os
+
+    edges_dir = os.path.join(state_dir, "edges")
+    count_dir = os.path.join(state_dir, "count")
+
+    from parallel_betweenness_centrality_using_bsp_spark.operators.triangles import (
+        incremental_triangles,
+    )
+
+    canon = (
+        batch.select(
+            F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
+        )
+        .where(F.col("src") != F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+    )
+    if os.path.isdir(edges_dir):
+        base = spark.read.parquet(edges_dir)
+        old_total = spark.read.parquet(count_dir).collect()[0]["n_triangles"]
+        new = incremental_triangles(spark, base, canon).collect()[0][
+            "new_triangles"
+        ]
+        fresh = canon.join(base, ["src", "dst"], "left_anti")
+    else:
+        from parallel_betweenness_centrality_using_bsp_spark.operators.triangles import triangle_count
+
+        old_total, new, fresh = 0, triangle_count(spark, canon), canon
+    total = int(old_total) + int(new)
+    # localCheckpoint before the writes: `fresh` reads edges_dir, which the
+    # append below mutates — materialize first so the plan can't re-scan
+    fresh = fresh.localCheckpoint(eager=True)
+    fresh.write.mode("append").parquet(edges_dir)
+    spark.createDataFrame([(total,)], "n_triangles long").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(count_dir)
+    return total
+
+
+def run_triangle_maintenance_once(
+    spark: SparkSession,
+    src_path: str,
+    state_dir: str,
+    checkpoint: str,
+    max_files_per_trigger: int | None = None,
+) -> int:
+    """One availableNow pass of the maintenance loop: parquet edge-file
+    stream → foreachBatch(fold_edge_batch) → running count under
+    ``state_dir/count``.  ``max_files_per_trigger`` splits the backlog into
+    that many-file micro-batches (exercising true multi-batch accumulation);
+    returns the final running total."""
+    reader = spark.readStream.schema("src long, dst long")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    q = (
+        reader.parquet(src_path)
+        .writeStream.foreachBatch(
+            lambda batch, _id: fold_edge_batch(spark, batch, state_dir)
+        )
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    import os
+
+    count_dir = os.path.join(state_dir, "count")
+    if not os.path.isdir(count_dir):
+        return 0
+    return int(spark.read.parquet(count_dir).collect()[0]["n_triangles"])

@@ -422,3 +422,31 @@ def test_stream_hot_vertices_matches_batch(spark, tmp_path):
     # exactly-once on re-run with no new input
     run_hot_vertices_once(spark, src, sink, ckpt, threshold=3, window="1 hour")
     assert spark.read.parquet(sink).count() == len(got)
+
+
+def test_stream_triangle_maintenance_matches_cold(spark, tmp_path):
+    """The foreachBatch maintenance loop — micro-batches of crawled edges
+    folded in via incremental_triangles — must land on exactly the cold
+    count of the full edge set, across multiple triggers."""
+    from parallel_betweenness_centrality_using_bsp_spark.operators.triangles import triangle_count
+    from parallel_betweenness_centrality_using_bsp_spark.sources.graphs import edge_df
+    from parallel_betweenness_centrality_using_bsp_spark.streaming.graph import (
+        run_triangle_maintenance_once,
+    )
+    from tests.oracles import er_graph
+
+    edges = er_graph(n=80, p=0.1, seed=31)
+    src, state, ckpt = (str(tmp_path / d) for d in ("src", "state", "ckpt"))
+    third = len(edges) // 3
+    for part in (edges[:third], edges[third : 2 * third], edges[2 * third :]):
+        edge_df(spark, part).coalesce(1).write.mode("append").parquet(src)
+
+    total = run_triangle_maintenance_once(
+        spark, src, state, ckpt, max_files_per_trigger=1
+    )
+    cold = triangle_count(spark, edge_df(spark, edges))
+    assert total == cold
+
+    # exactly-once: a second pass with no new files changes nothing
+    total2 = run_triangle_maintenance_once(spark, src, state, ckpt)
+    assert total2 == cold
