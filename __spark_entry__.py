@@ -1151,6 +1151,71 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_triples(spark, e).agg(F.count(F.lit(1)).alias("n_triangles"))
 
 
+ANF_K = 16
+ANF_HOPS = 2
+
+
+def graph_anf_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate neighborhood function: per-vertex bottom-k (KMV) sketch
+    of the 2-hop ball, k=16, over the portable md5 hash family — the
+    HyperANF-style web-graph ball-growth primitive.  Every sketch operation
+    is integer-exact (union + keep-k-smallest), so the DuckDB twin replays
+    the identical rounds and the per-vertex estimates hash-match at 6dp."""
+    from parallel_betweenness_centrality_using_bsp_spark.operators.anf import (
+        anf_sketches,
+        neighborhood_estimates,
+    )
+
+    e = _order_edges(spark, sf_dir)
+    sk = anf_sketches(spark, e, hops=ANF_HOPS, k=ANF_K)
+    return (
+        neighborhood_estimates(sk, ANF_K)
+        .select("vertex", "n_hashes", F.round("ball_est", 6).alias("ball_est"))
+        .orderBy("vertex")
+    )
+
+
+def _anf_sql() -> str:
+    """The KMV propagation replayed round-for-round: distinct union with
+    the neighbor flow, then row_number ≤ k per vertex.  MATERIALIZED for
+    the same reason as the sssp unroll — each round is referenced twice."""
+    rounds = [
+        "s0 AS MATERIALIZED (SELECT vertex, ('0x' || substr(md5('nf:' ||"
+        " vertex::VARCHAR), 1, 15))::BIGINT AS h FROM vertices)"
+    ]
+    for i in range(ANF_HOPS):
+        rounds.append(
+            f"""s{i + 1} AS MATERIALIZED (
+                SELECT vertex, h FROM (
+                    SELECT vertex, h,
+                           row_number() OVER (PARTITION BY vertex ORDER BY h)
+                               AS rn
+                    FROM (
+                        SELECT DISTINCT vertex, h FROM (
+                            SELECT vertex, h FROM s{i}
+                            UNION ALL
+                            SELECT u.dst AS vertex, s.h
+                            FROM s{i} s JOIN und u ON u.src = s.vertex
+                        )
+                    )
+                ) WHERE rn <= {ANF_K}
+            )"""
+        )
+    chain = ",\n".join(rounds)
+    return f"""
+        WITH {_EDGES_SQL},
+        {chain}
+        SELECT vertex, count(*) AS n_hashes,
+               round(CASE WHEN count(*) < {ANF_K}
+                          THEN count(*)::DOUBLE
+                          ELSE ({ANF_K - 1}.0 * 1152921504606846976.0)
+                               / max(h)
+                     END, 6) AS ball_est
+        FROM s{ANF_HOPS}
+        GROUP BY vertex ORDER BY vertex
+    """
+
+
 def graph_triangles_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental triangle maintenance: a deterministic 90/10 hash split of
     the edge table plays the roles of existing graph and crawl delta; the
@@ -3873,6 +3938,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_degree_topk": graph_degree_topk,
         "graph_assortativity": graph_assortativity,
         "graph_triangle_count": graph_triangle_count,
+        "graph_anf_sketch": graph_anf_sketch,
         "graph_triangles_incremental": graph_triangles_incremental,
         "graph_components": graph_components,
         "graph_components_incremental": graph_components_incremental,
@@ -4339,6 +4405,7 @@ ORDER BY n_hits DESC, doc_id LIMIT 50
                         JOIN und e3 ON e3.src = e1.src AND e3.dst = e2.dst
             WHERE e1.src < e1.dst AND e2.src < e2.dst
         """,
+        "graph_anf_sketch": _anf_sql(),
         # the incremental path must land on the identical full-graph number
         "graph_triangles_incremental": f"""
             WITH {_EDGES_SQL}
