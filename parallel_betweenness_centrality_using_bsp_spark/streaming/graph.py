@@ -189,3 +189,63 @@ def run_triangle_maintenance_once(
     if not os.path.isdir(count_dir):
         return 0
     return int(spark.read.parquet(count_dir).collect()[0]["n_triangles"])
+
+
+def fold_component_batch(spark: SparkSession, batch: DataFrame, state_dir: str) -> int:
+    """Fold one batch of (src, dst) edges into a running connected-components
+    label table under ``state_dir/labels`` and return the current component
+    count.  First batch = cold hash-min run on the batch alone; every later
+    batch = ``incremental_components`` (a |delta|-sized label-graph fixpoint
+    plus one broadcast relabel — the base edge set is never stored at all,
+    labels are a complete summary for edge-ADD deltas).  The overwrite is
+    safe because the new label table is materialized (localCheckpoint)
+    before the old one is replaced; at cluster scale the staged-swap writer
+    in sources/catalog.py plays this role."""
+    import os
+
+    from parallel_betweenness_centrality_using_bsp_spark.operators.components import (
+        connected_components,
+        incremental_components,
+    )
+
+    labels_dir = os.path.join(state_dir, "labels")
+    if os.path.isdir(labels_dir):
+        old = spark.read.parquet(labels_dir)
+        new = incremental_components(spark, old, batch)
+    else:
+        new = connected_components(spark, batch, count_rows=False).state.select(
+            "vertex", "label"
+        )
+    new = new.localCheckpoint(eager=True)
+    new.write.mode("overwrite").parquet(labels_dir)
+    return new.select("label").distinct().count()
+
+
+def run_component_maintenance_once(
+    spark: SparkSession,
+    src_path: str,
+    state_dir: str,
+    checkpoint: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """One availableNow pass of the component-maintenance loop: parquet
+    edge-file stream → foreachBatch(fold_component_batch) → label table
+    under ``state_dir/labels``; returns the final labels DataFrame (equal
+    to a cold run over every edge seen, by the incremental kernel's
+    exactness contract)."""
+    reader = spark.readStream.schema("src long, dst long")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    q = (
+        reader.parquet(src_path)
+        .writeStream.foreachBatch(
+            lambda batch, _id: fold_component_batch(spark, batch, state_dir)
+        )
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    import os
+
+    return spark.read.parquet(os.path.join(state_dir, "labels"))

@@ -450,3 +450,30 @@ def test_stream_triangle_maintenance_matches_cold(spark, tmp_path):
     # exactly-once: a second pass with no new files changes nothing
     total2 = run_triangle_maintenance_once(spark, src, state, ckpt)
     assert total2 == cold
+
+
+def test_stream_component_maintenance_matches_cold(spark, tmp_path):
+    """The label table maintained by foreachBatch over incremental_components
+    must equal the cold hash-min run over every edge seen, across triggers."""
+    from parallel_betweenness_centrality_using_bsp_spark.operators.components import (
+        connected_components,
+    )
+    from parallel_betweenness_centrality_using_bsp_spark.sources.graphs import edge_df
+    from parallel_betweenness_centrality_using_bsp_spark.streaming.graph import (
+        run_component_maintenance_once,
+    )
+    from tests.oracles import er_graph
+
+    edges = er_graph(n=90, p=0.03, seed=13)
+    src, state, ckpt = (str(tmp_path / d) for d in ("srcc", "statec", "ckptc"))
+    third = len(edges) // 3
+    for part in (edges[:third], edges[third : 2 * third], edges[2 * third :]):
+        edge_df(spark, part).coalesce(1).write.mode("append").parquet(src)
+
+    got = run_component_maintenance_once(
+        spark, src, state, ckpt, max_files_per_trigger=1
+    )
+    want = connected_components(spark, edge_df(spark, edges), count_rows=False).state
+    g = {r["vertex"]: r["label"] for r in got.collect()}
+    w = {r["vertex"]: r["label"] for r in want.select("vertex", "label").collect()}
+    assert g == w
