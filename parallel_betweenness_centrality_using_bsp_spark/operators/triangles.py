@@ -108,24 +108,43 @@ def incremental_triangles(
     the same last-reducer defense as the cold kernel's orientation), S2 is
     a |delta|² self-join bounded by the delta's own degree distribution,
     S3 runs the cold oriented kernel on the delta alone.  The base wedge
-    space — the O(m·sqrt(m)) term a cold recount pays — is never touched;
-    base adjacency rows are only streamed through delta-keyed joins.
+    space — the O(m·sqrt(m)) term a cold recount pays — is never touched.
+
+    Every use of A here (wedge expansion from x, closure edges (y,w) and
+    (pa,pb), expansion-side degrees) only ever reads rows whose src is a
+    DELTA ENDPOINT, so the base is reduced up front by ONE broadcast
+    semi-join against the endpoint set and deduplicated AFTER that filter:
+    the base is scanned once and never shuffled at its own size — every
+    shuffle in the plan is delta-adjacency-sized.  (The broadcast is the
+    endpoint set, ≤ 2·|delta| ids; a delta so large it can't broadcast is
+    past the point where a cold recount is the better plan anyway.)
 
     Delta edges already present in the base are dropped (they create
     nothing), so callers may pass an overlapping delta safely.  Total count
     after the delta = cold count of the base + this row."""
     p = num_partitions or spark.sparkContext.defaultParallelism
-    base = symmetrize(base_edges)
+    dboth = symmetrize(delta_edges)
+    eps = dboth.select("src").distinct()
+    b = base_edges.select("src", "dst").where(F.col("src") != F.col("dst"))
+    # persisted: base_e is read twice (directly in `a` and inside delta's
+    # anti-join) — without the persist the base parquet is scanned twice
+    base_e = (
+        b.unionByName(b.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .join(F.broadcast(eps), "src", "left_semi")
+        .dropDuplicates(["src", "dst"])
+        .persist()
+    )
     delta = (
-        symmetrize(delta_edges)
-        .join(base, ["src", "dst"], "left_anti")
+        dboth.join(base_e, ["src", "dst"], "left_anti")
         .repartition(p, "src")
         .persist()
     )
-    a = base.unionByName(delta).repartition(p, "src").persist()
+    a = base_e.unionByName(delta).repartition(p, "src").persist()
     a.count()
 
-    # S1 — expand from the lower-(degree, id) endpoint of each delta edge
+    # S1 — expand from the lower-(degree, id) endpoint of each delta edge;
+    # `a` holds every A-row with src in the endpoint set, so endpoint
+    # degrees computed from it are the full-graph degrees
     deg = a.groupBy(F.col("src").alias("v")).agg(F.count(F.lit(1)).alias("deg"))
     cd = (
         delta.where(F.col("src") < F.col("dst"))
