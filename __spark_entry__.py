@@ -2876,6 +2876,43 @@ def graph_betweenness_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def graph_betweenness_weighted_csr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same weighted-Brandes scores via the CSR fast path: source-parallel
+    Dial's-level Dijkstra-Brandes in numpy over a worker-cached weighted
+    CSR (betweenness_weighted.betweenness_weighted_csr_sweep).  The sweep
+    is CONVERGED shortest paths; it shares graph_betweenness_weighted's
+    16-hop-capped oracle because the weighted-hop diameter from these
+    sources is ≤ 11 at every shipped sf (measured via BF-to-fixpoint in
+    DuckDB), so capped == converged — the gate proves the join formulation
+    and the Arrow kernel agree on identical scores."""
+    from parallel_betweenness_centrality_using_bsp_spark.operators.betweenness_weighted import (
+        betweenness_weighted_csr_sweep,
+        prepare_csr_weighted,
+    )
+
+    we = _weighted_order_edges(spark, sf_dir)
+    verts = (
+        we.select(F.col("src").alias("vertex"))
+        .unionByName(we.select(F.col("dst").alias("vertex")))
+        .distinct()
+    )
+    sources = sorted(
+        r["vertex"] for r in verts.where(F.col("vertex") < BCW_SOURCE_CAP).collect()
+    )
+    art, _ = prepare_csr_weighted(spark, we, directed=False)
+    try:
+        # the sweep's bc is localCheckpoint-materialized before return, so
+        # the artifact can be removed as soon as the sweep completes
+        res = betweenness_weighted_csr_sweep(spark, art, sources)
+    finally:
+        art.cleanup()
+    return (
+        res.bc.join(verts, "vertex")
+        .select("vertex", F.round("bc", 6).alias("bc"))
+        .orderBy("vertex")
+    )
+
+
 def _betweenness_weighted_sql() -> str:
     """Weighted Brandes in SQL: recursive cost-capped walk → min cost per
     (source, vertex); DAG edges via the additive certificate; sigma as
@@ -3954,6 +3991,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_community_centroids": graph_community_centroids,
         "graph_betweenness": graph_betweenness,
         "graph_betweenness_bsp": graph_betweenness_bsp,
+        "graph_betweenness_weighted_csr": graph_betweenness_weighted_csr,
         "graph_betweenness_weighted": graph_betweenness_weighted,
         "graph_edge_betweenness": graph_edge_betweenness,
         "graph_closeness": graph_closeness,
@@ -4465,6 +4503,7 @@ ORDER BY n_hits DESC, doc_id LIMIT 50
         "graph_shortest_path": _shortest_path_sql(),
         "graph_linkpred": _linkpred_sql(),
         "graph_betweenness_weighted": _betweenness_weighted_sql(),
+        "graph_betweenness_weighted_csr": _betweenness_weighted_sql(),
         "graph_louvain2": _louvain2_sql(),
         "graph_louvain2_weighted": _louvain2_sql(weighted=True),
         "graph_bfs_dist": f"""

@@ -200,6 +200,26 @@ def main() -> None:
         res_bcw.supersteps / queries["betweenness_weighted_2src"], 4
     )
 
+    # weighted CSR fast path: same scores as the join formulation (both
+    # oracle-gated against one SQL twin), Dial's-level Dijkstra-Brandes in
+    # numpy — 8 sources to the join path's 2
+    from parallel_betweenness_centrality_using_bsp_spark.operators.betweenness_weighted import (
+        betweenness_weighted_csr_sweep,
+        prepare_csr_weighted,
+    )
+
+    wart, _ = prepare_csr_weighted(spark, we)
+    try:
+        betweenness_weighted_csr_sweep(spark, wart, list(range(2)))  # warm cache
+        wtimes = []
+        for _ in range(2):
+            t0 = time.monotonic()
+            betweenness_weighted_csr_sweep(spark, wart, list(range(8)))
+            wtimes.append(time.monotonic() - t0)
+        queries["betweenness_weighted_csr_8src"] = round(min(wtimes), 3)
+    finally:
+        wart.cleanup()
+
     timed("louvain_2rounds", lambda: _louvain(spark, g, rounds=2).count())
     g.unpersist()
 

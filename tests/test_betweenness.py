@@ -260,3 +260,79 @@ def test_weighted_betweenness_rejects_fractional_weights(spark):
     df2 = spark.createDataFrame([(0, 1, 1.5)], "src long, dst long, w double")
     with pytest.raises(ValueError, match="INTEGRAL"):
         betweenness_weighted(spark, df2)
+
+
+def test_weighted_csr_sweep_matches_networkx(spark):
+    """The Dial's-level Dijkstra-Brandes numpy kernel (weighted CSR fast
+    path) vs networkx at 1e-6, undirected and directed."""
+    import networkx as nx
+
+    from parallel_betweenness_centrality_using_bsp_spark.operators.betweenness_weighted import (
+        betweenness_weighted_csr_sweep,
+        prepare_csr_weighted,
+    )
+
+    rng_edges = er_graph(n=40, p=0.12, seed=21)
+    wedges = [(u, v, 1 + ((u * 7 + v * 13) % 5)) for u, v in rng_edges]
+    for directed in (False, True):
+        g = nx.DiGraph() if directed else nx.Graph()
+        g.add_weighted_edges_from(wedges)
+        want = nx.betweenness_centrality(g, normalized=False, weight="weight")
+        df = spark.createDataFrame(wedges, "src long, dst long, w long")
+        art, src = prepare_csr_weighted(spark, df, directed=directed)
+        try:
+            got = df_to_dict(
+                betweenness_weighted_csr_sweep(
+                    spark, art, src, directed=directed
+                ).bc,
+                "vertex",
+                "bc",
+            )
+        finally:
+            art.cleanup()
+        for v in want:
+            assert abs(got[v] - want[v]) < 1e-6, (directed, v, got[v], want[v])
+        # ids absent from the edge list (dense-id padding) carry zero
+        for v in set(got) - set(want):
+            assert got[v] == 0.0
+
+
+def test_weighted_csr_sweep_ba_matches_join_formulation(spark):
+    """Fast path == join-formulation Dijkstra-Brandes on a skewed graph
+    with wide weights — the two implementations share no code."""
+    from parallel_betweenness_centrality_using_bsp_spark.operators.betweenness_weighted import (
+        betweenness_weighted,
+        betweenness_weighted_csr_sweep,
+        prepare_csr_weighted,
+    )
+
+    edges = ba_graph(n=60, m=2, seed=13)
+    wedges = [(u, v, 1 + ((u * 11 + v * 3) % 9)) for u, v in edges]
+    df = spark.createDataFrame(wedges, "src long, dst long, w long")
+    sources = [0, 5, 9]
+    join_res = betweenness_weighted(spark, df, sources=sources, max_hops=120)
+    a = df_to_dict(join_res.bc, "vertex", "bc")
+    art, _ = prepare_csr_weighted(spark, df)
+    try:
+        b = df_to_dict(
+            betweenness_weighted_csr_sweep(spark, art, sources).bc, "vertex", "bc"
+        )
+    finally:
+        art.cleanup()
+    for v in b:
+        assert abs(a.get(v, 0.0) - b[v]) < 1e-6, v
+
+
+def test_weighted_csr_rejects_bad_weights(spark):
+    import pytest
+
+    from parallel_betweenness_centrality_using_bsp_spark.operators.betweenness_weighted import (
+        prepare_csr_weighted,
+    )
+
+    for bad_w in (0.0, -2.0, 0.5):
+        df = spark.createDataFrame(
+            [(0, 1, bad_w), (1, 2, 1.0)], "src long, dst long, w double"
+        )
+        with pytest.raises(Exception):
+            prepare_csr_weighted(spark, df)
