@@ -1216,6 +1216,67 @@ def _anf_sql() -> str:
     """
 
 
+def graph_neighborhood_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The neighborhood function N(h) = Σ_v |ball(v, h)| for h = 0..2,
+    estimated from the same bottom-k propagation as graph_anf_sketch —
+    the curve effective diameter is read from.  One row per hop; the twin
+    replays every round and applies the identical KMV estimator."""
+    from parallel_betweenness_centrality_using_bsp_spark.operators.anf import (
+        neighborhood_function,
+    )
+
+    e = _order_edges(spark, sf_dir)
+    return (
+        neighborhood_function(spark, e, hops=ANF_HOPS, k=ANF_K)
+        .select("hop", F.round("nf_est", 4).alias("nf_est"))
+        .orderBy("hop")
+    )
+
+
+def _nf_sql() -> str:
+    """Per-round KMV totals over the _anf_sql round chain."""
+    rounds = [
+        "s0 AS MATERIALIZED (SELECT vertex, ('0x' || substr(md5('nf:' ||"
+        " vertex::VARCHAR), 1, 15))::BIGINT AS h FROM vertices)"
+    ]
+    for i in range(ANF_HOPS):
+        rounds.append(
+            f"""s{i + 1} AS MATERIALIZED (
+                SELECT vertex, h FROM (
+                    SELECT vertex, h,
+                           row_number() OVER (PARTITION BY vertex ORDER BY h)
+                               AS rn
+                    FROM (
+                        SELECT DISTINCT vertex, h FROM (
+                            SELECT vertex, h FROM s{i}
+                            UNION ALL
+                            SELECT u.dst AS vertex, s.h
+                            FROM s{i} s JOIN und u ON u.src = s.vertex
+                        )
+                    )
+                ) WHERE rn <= {ANF_K}
+            )"""
+        )
+    ests = []
+    for i in range(ANF_HOPS + 1):
+        ests.append(
+            f"""SELECT {i} AS hop, round(sum(est), 4) AS nf_est FROM (
+                SELECT CASE WHEN count(*) < {ANF_K}
+                            THEN count(*)::DOUBLE
+                            ELSE ({ANF_K - 1}.0 * 1152921504606846976.0)
+                                 / max(h)
+                       END AS est
+                FROM s{i} GROUP BY vertex)"""
+        )
+    chain = ",\n".join(rounds)
+    union = "\nUNION ALL\n".join(ests)
+    return f"""
+        WITH {_EDGES_SQL},
+        {chain}
+        SELECT hop, nf_est FROM ({union}) ORDER BY hop
+    """
+
+
 def graph_triangles_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental triangle maintenance: a deterministic 90/10 hash split of
     the edge table plays the roles of existing graph and crawl delta; the
@@ -3975,6 +4036,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_degree_topk": graph_degree_topk,
         "graph_assortativity": graph_assortativity,
         "graph_triangle_count": graph_triangle_count,
+        "graph_neighborhood_function": graph_neighborhood_function,
         "graph_anf_sketch": graph_anf_sketch,
         "graph_triangles_incremental": graph_triangles_incremental,
         "graph_components": graph_components,
@@ -4444,6 +4506,7 @@ ORDER BY n_hits DESC, doc_id LIMIT 50
             WHERE e1.src < e1.dst AND e2.src < e2.dst
         """,
         "graph_anf_sketch": _anf_sql(),
+        "graph_neighborhood_function": _nf_sql(),
         # the incremental path must land on the identical full-graph number
         "graph_triangles_incremental": f"""
             WITH {_EDGES_SQL}
