@@ -186,3 +186,20 @@ def test_bucketed_pagerank_drops_stale_tables_and_skips_state_exchange(spark, tm
     step, _ = latest_checkpoint(spark, str(tmp_path / "ck"), "pagerank", "bkt")
     assert step == 3
     spark.sql("DROP TABLE IF EXISTS ss_pagerank_bkt_3")
+
+
+def test_incremental_triangles_filters_base_by_broadcast_semi_join(spark):
+    """The incremental triangle kernel must reduce the base by a BROADCAST
+    endpoint semi-join BEFORE any exchange — the base is scanned once and
+    never shuffled at its own size (the delta-sized-shuffles contract)."""
+    from parallel_betweenness_centrality_using_bsp_spark.operators.triangles import (
+        incremental_triangles,
+    )
+    from parallel_betweenness_centrality_using_bsp_spark.sources.graphs import random_uniform_graph
+
+    g = random_uniform_graph(spark, 500, 3000, seed=1)
+    d = random_uniform_graph(spark, 500, 60, seed=2)
+    plan = incremental_triangles(spark, g, d)._jdf.queryExecution().toString()
+    # the endpoint filter compiles to a broadcast LeftSemi on src
+    assert "LeftSemi, BuildRight" in plan
+    assert "BroadcastExchange" in plan
