@@ -32,8 +32,9 @@ def build_parser() -> argparse.ArgumentParser:
                     choices=["pagerank", "components", "labelprop", "triangles",
                              "betweenness", "betweenness-bsp", "derive-edges",
                              "sssp", "kcore", "coreness", "wl", "walks", "hits", "salsa",
-                             "betweenness-weighted", "louvain",
-                             "katz", "node2vec", "egonet", "msf"])
+                             "betweenness-weighted", "betweenness-weighted-csr",
+                             "louvain", "katz", "node2vec", "egonet", "msf",
+                             "anf", "triangles-incremental"])
     src = ap.add_mutually_exclusive_group(required=True)
     src.add_argument("--edges", help="parquet path of (src,dst) edge table")
     src.add_argument("--repo-files", help="parquet path of repo_files table")
@@ -307,6 +308,48 @@ def main(argv: list[str] | None = None) -> None:
             max_hops=args.max_supersteps, num_partitions=args.partitions,
         )
         out = res.bc
+    elif args.algo == "betweenness-weighted-csr":
+        from pyspark.sql import functions as F
+
+        from parallel_betweenness_centrality_using_bsp_spark.operators.betweenness_weighted import (
+            betweenness_weighted_csr_sweep,
+            prepare_csr_weighted,
+        )
+
+        we = e if "w" in e.columns else e.select(
+            "src", "dst", ((F.col("src") + F.col("dst")) % 7 + 1).alias("w")
+        )
+        # artifact lands next to the output so cluster workers can read it
+        art, default_sources = prepare_csr_weighted(
+            spark, we, artifact_dir=(args.output.rstrip("/") + "_wcsr")
+        )
+        srcs = default_sources.limit(args.sources)
+        out = betweenness_weighted_csr_sweep(
+            spark, art, srcs, num_partitions=args.partitions
+        ).bc
+    elif args.algo == "anf":
+        from parallel_betweenness_centrality_using_bsp_spark.operators.anf import (
+            anf_sketches,
+            neighborhood_estimates,
+        )
+
+        sk = anf_sketches(
+            spark, e, hops=args.max_supersteps, k=max(args.k, 4),
+            num_partitions=args.partitions,
+        )
+        out = neighborhood_estimates(sk, max(args.k, 4))
+    elif args.algo == "triangles-incremental":
+        from pyspark.sql import functions as F
+
+        from parallel_betweenness_centrality_using_bsp_spark.operators.triangles import (
+            incremental_triangles,
+        )
+
+        bucket = F.pmod(F.xxhash64("src", "dst"), F.lit(100))
+        out = incremental_triangles(
+            spark, e.where(bucket < 99), e.where(bucket >= 99),
+            num_partitions=args.partitions,
+        )
     elif args.algo == "louvain":
         from parallel_betweenness_centrality_using_bsp_spark.operators.labelprop import louvain_one_level
 
