@@ -1277,6 +1277,37 @@ def _nf_sql() -> str:
     """
 
 
+def graph_effective_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-row (eff_diameter): the smallest hop h ≤ 2 with N(h) ≥ 0.9·N(2),
+    read from the gated neighborhood function — the standard "90% effective
+    diameter at horizon H" summary, computed in-plan (min over a filtered
+    self-join against the horizon row, no driver-side selection)."""
+    from parallel_betweenness_centrality_using_bsp_spark.operators.anf import (
+        neighborhood_function,
+    )
+
+    e = _order_edges(spark, sf_dir)
+    nf = neighborhood_function(spark, e, hops=ANF_HOPS, k=ANF_K)
+    horizon = nf.agg(F.max("hop").alias("mh")).join(nf, F.col("mh") == nf.hop).select(
+        F.col("nf_est").alias("nf_max")
+    )
+    return (
+        nf.crossJoin(F.broadcast(horizon))
+        .where(F.col("nf_est") >= 0.9 * F.col("nf_max"))
+        .agg(F.min("hop").alias("eff_diameter"))
+    )
+
+
+def _eff_diameter_sql() -> str:
+    nf = _nf_sql()
+    return f"""
+        WITH nf AS ({nf})
+        SELECT min(hop) AS eff_diameter FROM nf
+        WHERE nf_est >= 0.9 * (SELECT nf_est FROM nf
+                               WHERE hop = (SELECT max(hop) FROM nf))
+    """
+
+
 def graph_triangles_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental triangle maintenance: a deterministic 90/10 hash split of
     the edge table plays the roles of existing graph and crawl delta; the
@@ -4036,6 +4067,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_degree_topk": graph_degree_topk,
         "graph_assortativity": graph_assortativity,
         "graph_triangle_count": graph_triangle_count,
+        "graph_effective_diameter": graph_effective_diameter,
         "graph_neighborhood_function": graph_neighborhood_function,
         "graph_anf_sketch": graph_anf_sketch,
         "graph_triangles_incremental": graph_triangles_incremental,
@@ -4507,6 +4539,7 @@ ORDER BY n_hits DESC, doc_id LIMIT 50
         """,
         "graph_anf_sketch": _anf_sql(),
         "graph_neighborhood_function": _nf_sql(),
+        "graph_effective_diameter": _eff_diameter_sql(),
         # the incremental path must land on the identical full-graph number
         "graph_triangles_incremental": f"""
             WITH {_EDGES_SQL}
