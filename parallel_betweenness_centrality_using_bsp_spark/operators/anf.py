@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 
 from parallel_betweenness_centrality_using_bsp_spark.functions.hashing import md5_token_value
 from parallel_betweenness_centrality_using_bsp_spark.operators.edges import symmetrize
+from parallel_betweenness_centrality_using_bsp_spark.plans.superstep import guard_stats
 
 # md5_token_value yields 60-bit non-negative longs
 DOMAIN = float(1 << 60)
@@ -79,6 +80,7 @@ def anf_sketches(
             .where(F.col("_rn") <= k)
             .drop("_rn")
             .localCheckpoint(eager=True)
+            .transform(guard_stats)
         )
     und.unpersist()
     return state
@@ -139,6 +141,7 @@ def neighborhood_function(
             .where(F.col("_rn") <= k)
             .drop("_rn")
             .localCheckpoint(eager=True)
+            .transform(guard_stats)
         )
         out.append(nf(state, i + 1))
     und.unpersist()

@@ -192,13 +192,21 @@ def incremental_triangles(
         F.count(F.lit(1)).alias("s3")
     )
 
-    return (
+    # eager: the result is one row, and materializing it here lets the three
+    # persisted relations (base slice, delta, merged adjacency) be released
+    # instead of leaking across calls in a long-lived session
+    out = (
         s1.crossJoin(s2)
         .crossJoin(s3)
         .select(
             (F.col("s1") - F.col("s2") + F.col("s3")).alias("new_triangles")
         )
+        .localCheckpoint(eager=True)
     )
+    a.unpersist()
+    delta.unpersist()
+    base_e.unpersist()
+    return out
 
 
 def local_clustering_coefficients(
