@@ -89,6 +89,7 @@ def incremental_triangles(
     base_edges: DataFrame,
     delta_edges: DataFrame,
     num_partitions: int | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """1-row (new_triangles long): triangles created by adding ``delta_edges``
     to ``base_edges`` — WITHOUT rescanning the base wedge space.
@@ -192,17 +193,22 @@ def incremental_triangles(
         F.count(F.lit(1)).alias("s3")
     )
 
-    # eager: the result is one row, and materializing it here lets the three
-    # persisted relations (base slice, delta, merged adjacency) be released
-    # instead of leaking across calls in a long-lived session
     out = (
         s1.crossJoin(s2)
         .crossJoin(s3)
         .select(
             (F.col("s1") - F.col("s2") + F.col("s3")).alias("new_triangles")
         )
-        .localCheckpoint(eager=True)
     )
+    if not materialize:
+        # caller owns the lifecycle of the three persisted relations (base
+        # slice, delta, merged adjacency) — used by plan-shape tests that
+        # need the join tree inspectable before any checkpoint erases it
+        return out
+    # eager: the result is one row, and materializing it here lets the three
+    # persisted relations be released instead of leaking across calls in a
+    # long-lived session (the streaming maintenance loop)
+    out = out.localCheckpoint(eager=True)
     a.unpersist()
     delta.unpersist()
     base_e.unpersist()

@@ -116,6 +116,28 @@ def _materialize(
 # kernels grow ~3 digits/round (linear, harmless), so a high digit
 # threshold distinguishes the two.
 _STATS_DIGIT_CAP = 2000
+# the same cap in bits (digits / log10(2)) — compared via int.bit_length(),
+# which has no conversion limit at any size
+_STATS_BIT_CAP = 6644
+
+
+def _stats_healthy(read_size) -> bool:
+    """True iff the plan-size estimate produced by the zero-arg callable
+    ``read_size`` is below the pathological-growth cap.
+
+    bit_length, not len(str(..)): CPython 3.11 caps int->str conversion at
+    4300 digits, and a plan whose estimate grows 3x per round LEAPFROGS the
+    2000..4300-digit window in one step — str() then raises, the old
+    catch-all returned the frame UNGUARDED, and the estimate compounded to
+    millions of digits (minutes of BigInteger.toString per py4j read: the
+    measured sf0.001 weighted-Brandes stall).  The py4j transfer itself
+    parses a decimal string, so past the same limit ``read_size()`` raises
+    before bit_length can run — that ValueError IS the pathological
+    verdict, not an excuse to skip the rebuild."""
+    try:
+        return int(read_size()).bit_length() <= _STATS_BIT_CAP
+    except ValueError:
+        return False
 
 
 def guard_stats(out: DataFrame) -> DataFrame:
@@ -129,7 +151,7 @@ def guard_stats(out: DataFrame) -> DataFrame:
     round's plan."""
     try:
         jqe = out._jdf.queryExecution()
-        if len(str(jqe.optimizedPlan().stats().sizeInBytes())) <= _STATS_DIGIT_CAP:
+        if _stats_healthy(lambda: jqe.optimizedPlan().stats().sizeInBytes()):
             return out
         fresh = out.sparkSession._jsparkSession.internalCreateDataFrame(
             jqe.toRdd(), out._jdf.schema(), False

@@ -199,7 +199,11 @@ def test_incremental_triangles_filters_base_by_broadcast_semi_join(spark):
 
     g = random_uniform_graph(spark, 500, 3000, seed=1)
     d = random_uniform_graph(spark, 500, 60, seed=2)
-    plan = incremental_triangles(spark, g, d)._jdf.queryExecution().toString()
+    plan = (
+        incremental_triangles(spark, g, d, materialize=False)
+        ._jdf.queryExecution()
+        .toString()
+    )
     # the endpoint filter compiles to a broadcast LeftSemi on src
     assert "LeftSemi, BuildRight" in plan
     assert "BroadcastExchange" in plan

@@ -94,3 +94,30 @@ def test_resume_mid_iteration_identical_result(spark, tmp_path):
         full.state, "vertex", "label"
     ) == oracle_components(edges)
     und.unpersist()
+
+
+def test_stats_healthy_survives_int_str_conversion_cap():
+    """Regression: the stats guard must classify estimates PAST CPython's
+    4300-digit int->str limit as pathological instead of dying inside its
+    own health check.  A 2-reference kernel's estimate triples its digit
+    count per round, leapfrogging the 2000..4300 window in one superstep —
+    the old len(str(..)) check raised ValueError there and the catch-all
+    returned the frame unguarded (the measured sf0.001 weighted-Brandes
+    stall)."""
+    from parallel_betweenness_centrality_using_bsp_spark.plans.superstep import (
+        _STATS_BIT_CAP,
+        _stats_healthy,
+    )
+
+    assert _stats_healthy(lambda: 10**100)
+    assert _stats_healthy(lambda: (1 << _STATS_BIT_CAP) - 1)
+    # one bit past the cap -> rebuild
+    assert not _stats_healthy(lambda: 1 << _STATS_BIT_CAP)
+    # 5778 digits: str() would raise ValueError here; bit_length must not
+    assert not _stats_healthy(lambda: 10**5777)
+    # the py4j read itself raising (decimal parse past the same cap) IS the
+    # pathological verdict
+    def boom():
+        raise ValueError("Exceeds the limit (4300 digits) for integer string conversion")
+
+    assert not _stats_healthy(boom)
