@@ -4012,6 +4012,156 @@ FROM per ORDER BY community
 """
 
 
+_RF_REPOS, _RF_FPR, _RF_IMPORTS, _RF_SEED = 60, 25, 3, 42
+_RF_N = _RF_REPOS * _RF_FPR
+
+
+def _repo_files_gated(spark: SparkSession):
+    """The north-rule input table (BASELINE.json input_hint: repo, path,
+    commit, lang, content) at a fixed gate size, plus its derived graph."""
+    from parallel_betweenness_centrality_using_bsp_spark.operators.edges import derive_edges, with_content_sha
+    from parallel_betweenness_centrality_using_bsp_spark.sources.repo_files import generate_repo_files
+
+    rf = with_content_sha(
+        generate_repo_files(
+            spark,
+            n_repos=_RF_REPOS,
+            files_per_repo=_RF_FPR,
+            imports_per_file=_RF_IMPORTS,
+            seed=_RF_SEED,
+        )
+    )
+    vertices, edges = derive_edges(rf)
+    return rf, vertices, edges
+
+
+def repo_import_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-rule input end-to-end under the oracle gate: the repo_files
+    table generated IN-PLAN (pure column expressions over spark.range — the
+    same generator scales partition-parallel to billions of files), per-row
+    sha256(content) attached (the input_hint's invariant), import edges
+    derived by regexp extraction + module-resolution joins
+    (operators/edges.py::derive_edges), aggregated per source repo.
+
+    The DuckDB twin rebuilds the SAME content strings from the generator's
+    closed form and derives the edge set ARITHMETICALLY (no regexp) — an
+    independent derivation, so a hash match proves the whole
+    content → regexp → resolution → dense-id pipeline, not merely that two
+    copies of one implementation agree."""
+    rf, vertices, edges = _repo_files_gated(spark)
+    vmap = vertices.select("vertex", "repo")
+    per_edge = edges.join(
+        vmap.select(F.col("vertex").alias("src"), F.col("repo").alias("repo_src")), "src"
+    ).join(
+        vmap.select(F.col("vertex").alias("dst"), F.col("repo").alias("repo_dst")), "dst"
+    )
+    edge_agg = per_edge.groupBy(F.col("repo_src").alias("repo")).agg(
+        F.count(F.lit(1)).alias("n_edges_out"),
+        F.count(F.when(F.col("repo_src") != F.col("repo_dst"), 1)).alias("n_cross_repo"),
+        F.countDistinct(
+            F.when(F.col("repo_src") != F.col("repo_dst"), F.col("repo_dst"))
+        ).alias("n_dst_repos"),
+    )
+    sha_agg = rf.groupBy("repo").agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.countDistinct("content_sha256").alias("n_unique_sha"),
+        F.min("content_sha256").alias("content_fp"),
+    )
+    return sha_agg.join(edge_agg, "repo").orderBy("repo")
+
+
+def repo_import_degree_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 most-imported modules of the derived import graph, reported by
+    MODULE NAME (so the oracle checks the vertex dictionary / module-key
+    resolution, not just dense-id arithmetic)."""
+    rf, vertices, edges = _repo_files_gated(spark)
+    indeg = edges.groupBy(F.col("dst").alias("vertex")).agg(
+        F.count(F.lit(1)).alias("in_degree")
+    )
+    return (
+        indeg.join(vertices.select("vertex", "module"), "vertex")
+        .select("module", "in_degree")
+        .orderBy(F.desc("in_degree"), F.asc("module"))
+        .limit(20)
+    )
+
+
+def _repo_files_ctes() -> str:
+    """DuckDB CTEs replicating the repo_files generator CLOSED-FORM (content
+    strings byte-identical to sources/repo_files.py; edge set derived
+    arithmetically from the import-target formula, not by regexp)."""
+    a, b = 2654435761, 40503
+    n, fpr, imp, seed = _RF_N, _RF_FPR, _RF_IMPORTS, _RF_SEED
+    return f"""
+WITH idx AS (SELECT range::BIGINT AS i FROM range(0, {n})),
+  tgt AS (
+    SELECT idx.i AS i, jr.j AS j,
+           (idx.i * {a} + jr.j * {b} + {seed}) % {n} AS t0
+    FROM idx, (SELECT range::BIGINT AS j FROM range(1, {imp + 1})) jr
+  ),
+  bumped AS (
+    SELECT i, j, CASE WHEN t0 = i THEN (t0 + 1) % {n} ELSE t0 END AS t
+    FROM tgt
+  ),
+  contents AS (
+    SELECT idx.i AS i,
+           'org' || (idx.i // {fpr})::VARCHAR || '/proj' || (idx.i // {fpr})::VARCHAR AS repo,
+           sha256(
+             '\"\"\"module org' || (idx.i // {fpr})::VARCHAR || '.proj'
+               || (idx.i // {fpr})::VARCHAR || '.mod_' || (idx.i % {fpr})::VARCHAR
+               || ' (seed {seed})\"\"\"' || chr(10)
+             || (SELECT string_agg(
+                   'import org' || (bb.t // {fpr})::VARCHAR || '.proj'
+                     || (bb.t // {fpr})::VARCHAR || '.mod_' || (bb.t % {fpr})::VARCHAR,
+                   chr(10) ORDER BY bb.j)
+                 FROM bumped bb WHERE bb.i = idx.i)
+             || chr(10) || chr(10) || 'def fn_' || (idx.i % {fpr})::VARCHAR || '(x):'
+             || chr(10) || '    return x * ' || ((idx.i * 31 + 7) % 1000)::VARCHAR
+             || chr(10)
+           ) AS content_sha256
+    FROM idx
+  ),
+  redges AS (
+    SELECT DISTINCT i AS src_i, t AS dst_i FROM bumped WHERE i != t
+  )"""
+
+
+def _repo_import_graph_sql() -> str:
+    fpr = _RF_FPR
+    return _repo_files_ctes() + f""",
+  edge_agg AS (
+    SELECT 'org' || (src_i // {fpr})::VARCHAR || '/proj' || (src_i // {fpr})::VARCHAR AS repo,
+           count(*) AS n_edges_out,
+           count(CASE WHEN src_i // {fpr} != dst_i // {fpr} THEN 1 END) AS n_cross_repo,
+           count(DISTINCT CASE WHEN src_i // {fpr} != dst_i // {fpr}
+                               THEN dst_i // {fpr} END) AS n_dst_repos
+    FROM redges GROUP BY 1
+  ),
+  sha_agg AS (
+    SELECT repo, count(*) AS n_files,
+           count(DISTINCT content_sha256) AS n_unique_sha,
+           min(content_sha256) AS content_fp
+    FROM contents GROUP BY repo
+  )
+SELECT s.repo, s.n_files, s.n_unique_sha, s.content_fp,
+       e.n_edges_out, e.n_cross_repo, e.n_dst_repos
+FROM sha_agg s JOIN edge_agg e USING (repo)
+ORDER BY s.repo
+"""
+
+
+def _repo_import_degree_topk_sql() -> str:
+    fpr = _RF_FPR
+    return _repo_files_ctes() + f"""
+SELECT 'org' || (dst_i // {fpr})::VARCHAR || '.proj' || (dst_i // {fpr})::VARCHAR
+         || '.mod_' || (dst_i % {fpr})::VARCHAR AS module,
+       count(*) AS in_degree
+FROM redges GROUP BY 1
+ORDER BY in_degree DESC, module ASC
+LIMIT 20
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # relational support operators
@@ -4130,6 +4280,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_kept_count": dedup_kept_count,
         # multimodal
         "multimodal_pipeline": multimodal_pipeline,
+        # north-rule input table (repo, path, commit, lang, content) end-to-end
+        "repo_import_graph": repo_import_graph,
+        "repo_import_degree_topk": repo_import_degree_topk,
     }
 
 
@@ -4726,4 +4879,6 @@ ORDER BY n_hits DESC, doc_id LIMIT 50
                    count(DISTINCT h) AS n_unique
             FROM dec GROUP BY media_type ORDER BY media_type
         """,
+        "repo_import_graph": _repo_import_graph_sql(),
+        "repo_import_degree_topk": _repo_import_degree_topk_sql(),
     }
