@@ -223,6 +223,29 @@ def main() -> None:
     timed("louvain_2rounds", lambda: _louvain(spark, g, rounds=2).count())
     g.unpersist()
 
+    # ---- north-star ingest path: repo_files content scan -> edge table ----
+    # 200k synthetic source files (generated partition-parallel, in-plan)
+    # through the full derivation: regexp import extraction, module
+    # resolution joins, two-phase dense-id ranking. Reported as files/sec —
+    # the rate the engine turns raw (repo, path, content) rows into edges.
+    from parallel_betweenness_centrality_using_bsp_spark.operators.edges import derive_edges as _derive
+    from parallel_betweenness_centrality_using_bsp_spark.sources.repo_files import (
+        generate_repo_files as _gen_rf,
+    )
+
+    RF_FILES = 200_000
+    rf = _gen_rf(spark, n_repos=RF_FILES // 25, files_per_repo=25).localCheckpoint(
+        eager=True
+    )
+    t0 = time.monotonic()
+    _, rf_edges = _derive(rf)
+    n_rf_edges = rf_edges.count()
+    queries["edge_derivation_200k_files"] = round(time.monotonic() - t0, 3)
+    throughput["edge_derivation_files_per_sec"] = round(
+        RF_FILES / queries["edge_derivation_200k_files"], 1
+    )
+    rf.unpersist()
+
     # ---- relational + pipeline at the bench scale factor ----
     timed("q1_pricing_summary", lambda: entrymod.q1_pricing_summary(spark, SF_DIR).collect())
     timed("q5_region_revenue", lambda: entrymod.q5_region_revenue(spark, SF_DIR).collect())
@@ -288,6 +311,7 @@ def main() -> None:
                     "pagerank_supersteps": run_pr.supersteps,
                     "cc_supersteps": run_cc.supersteps,
                     "coreness_rounds": res_core.supersteps,
+                    "repo_files": {"n_files": RF_FILES, "n_edges": n_rf_edges},
                 },
             }
         )
