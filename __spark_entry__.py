@@ -1144,6 +1144,29 @@ FROM (SELECT *, NULLIF(m::DOUBLE, 0) AS md FROM s)
 """
 
 
+def graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed reciprocity of the order graph (fraction of edges whose
+    reverse edge exists) — one co-partitioned self-semi-join, no driver
+    state."""
+    from parallel_betweenness_centrality_using_bsp_spark.operators.edges import reciprocity
+
+    return reciprocity(_order_edges(spark, sf_dir))
+
+
+def _reciprocity_sql() -> str:
+    return f"""
+WITH {_EDGES_SQL}
+SELECT count(*)::BIGINT AS n_dir_edges,
+       (count(*) FILTER (WHERE EXISTS
+           (SELECT 1 FROM edges r WHERE r.src = e.dst AND r.dst = e.src)
+       ))::BIGINT AS n_reciprocal,
+       round((count(*) FILTER (WHERE EXISTS
+           (SELECT 1 FROM edges r WHERE r.src = e.dst AND r.dst = e.src)
+       ))::DOUBLE / count(*), 6) AS reciprocity
+FROM edges e
+"""
+
+
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from parallel_betweenness_centrality_using_bsp_spark.operators.triangles import triangle_triples
 
@@ -4216,6 +4239,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # graph kernels
         "graph_degree_topk": graph_degree_topk,
         "graph_assortativity": graph_assortativity,
+        "graph_reciprocity": graph_reciprocity,
         "graph_triangle_count": graph_triangle_count,
         "graph_effective_diameter": graph_effective_diameter,
         "graph_neighborhood_function": graph_neighborhood_function,
@@ -4683,6 +4707,7 @@ ORDER BY n_hits DESC, doc_id LIMIT 50
             GROUP BY src ORDER BY degree DESC, vertex LIMIT 20
         """,
         "graph_assortativity": _assortativity_sql(),
+        "graph_reciprocity": _reciprocity_sql(),
         "graph_triangle_count": f"""
             WITH {_EDGES_SQL}
             SELECT count(*) AS n_triangles

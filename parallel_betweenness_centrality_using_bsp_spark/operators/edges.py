@@ -251,6 +251,30 @@ def graph_profile(spark, edges: DataFrame, num_partitions: int | None = None) ->
     return out
 
 
+def reciprocity(edges: DataFrame) -> DataFrame:
+    """1-row ``(n_dir_edges long, n_reciprocal long, reciprocity double)`` —
+    the fraction of directed edges whose reverse edge also exists
+    (``networkx.reciprocity`` convention; self-loops are excluded upstream
+    by every loader in this package).  One self-semi-join on the flipped
+    pair — both sides shuffle on the same (src, dst) key, so the probe is
+    a single co-partitioned exchange even at 10^12 edges, with no
+    state collected to the driver."""
+    e = edges.select("src", "dst").dropDuplicates(["src", "dst"])
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    recip = e.join(rev, ["src", "dst"], "left_semi")
+    return (
+        e.agg(F.count(F.lit(1)).alias("n_dir_edges"))
+        .crossJoin(recip.agg(F.count(F.lit(1)).alias("n_reciprocal")))
+        .select(
+            "n_dir_edges",
+            "n_reciprocal",
+            F.round(F.col("n_reciprocal") / F.col("n_dir_edges"), 6).alias(
+                "reciprocity"
+            ),
+        )
+    )
+
+
 def degree_assortativity(edges: DataFrame) -> DataFrame:
     """1-row ``(n_dir_edges long, assortativity double)`` — Newman's degree
     assortativity coefficient (Newman 2002, "Assortative mixing in
