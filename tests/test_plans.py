@@ -207,3 +207,23 @@ def test_incremental_triangles_filters_base_by_broadcast_semi_join(spark):
     # the endpoint filter compiles to a broadcast LeftSemi on src
     assert "LeftSemi, BuildRight" in plan
     assert "BroadcastExchange" in plan
+
+
+def test_derive_edges_plan_reuses_materialized_dictionary(spark):
+    """The edge-resolution query must consume the MATERIALIZED ranked
+    dictionary (checkpointed scan), not re-derive it: no ranking Window and
+    no distinct-dictionary HashAggregate may appear inside the edge plan.
+    Guards the densify double-shuffle fix — before it, the whole
+    distinct -> range-shuffle -> sort lineage ran once per resolution
+    branch and once more for the counts pass."""
+    from parallel_betweenness_centrality_using_bsp_spark.operators.edges import derive_edges
+    from parallel_betweenness_centrality_using_bsp_spark.sources.repo_files import (
+        generate_repo_files,
+    )
+
+    rf = generate_repo_files(spark, n_repos=10, files_per_repo=10)
+    _, edges = derive_edges(rf)
+    plan = _plan(edges)
+    assert "Window" not in plan
+    # the dictionary enters as materialized rows, not a recomputed subtree
+    assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan
