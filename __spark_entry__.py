@@ -1495,6 +1495,41 @@ def graph_katz3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def graph_eigenvector4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eigenvector centrality, 4 fixed power iterations with per-step L2
+    normalization over the directed order graph — the dominant-eigenvector
+    sibling of katz/pagerank.  The oracle unrolls the identical
+    x' = Aᵀx / ‖Aᵀx‖₂ recurrence; round(6) absorbs float summation-order
+    noise exactly as in the pagerank5 family."""
+    from parallel_betweenness_centrality_using_bsp_spark.operators.pagerank import eigenvector_centrality
+
+    e = _order_edges(spark, sf_dir)
+    run = eigenvector_centrality(spark, e, max_supersteps=4)
+    return run.state.select("vertex", F.round("x", 6).alias("eig")).orderBy("vertex")
+
+
+def graph_simrank2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimRank (2 iterations, c=0.8) over the SPARSIFIED order graph (the
+    SCC gates' variant — the full order graph's in-degree fan-out squares
+    into too dense a pair table for a twin-engine gate).  Emits unordered
+    scored pairs at 6dp with a deterministic ≥0.01 floor; the oracle
+    replays the identical truncated recurrence as unrolled CTEs."""
+    from parallel_betweenness_centrality_using_bsp_spark.operators.linkpred import simrank
+
+    e = _order_edges_sparse(spark, sf_dir)
+    s = simrank(spark, e, c=0.8, iters=2)
+    return (
+        s.where(F.col("u") < F.col("v"))
+        .select(
+            F.col("u").alias("a"),
+            F.col("v").alias("b"),
+            F.round("s", 6).alias("simrank"),
+        )
+        .where(F.col("simrank") >= 0.01)
+        .orderBy("a", "b")
+    )
+
+
 def _pagerank5_weighted_sql() -> str:
     """The weighted twin of ``_pagerank5_sql``: outdeg becomes the per-src
     weight sum and each contribution is pr·w/od."""
@@ -3739,6 +3774,73 @@ def _katz3_sql() -> str:
     return "".join(parts)
 
 
+def _eigenvector4_sql() -> str:
+    """4 unrolled power iterations matching
+    operators/pagerank.py::eigenvector_centrality exactly:
+    ``x' = Aᵀx / ‖Aᵀx‖₂`` with a zero-norm guard, x0 = 1/√n."""
+    parts = [
+        f"WITH {_EDGES_SQL},",
+        """
+  n_tot AS (SELECT count(*)::DOUBLE AS n FROM vertices),
+  x0 AS (SELECT vertex, 1.0 / sqrt((SELECT n FROM n_tot)) AS x FROM vertices)
+""",
+    ]
+    for k in range(1, 5):
+        p = f"x{k - 1}"
+        parts.append(
+            f""",
+  c{k} AS (SELECT e.dst AS vertex, sum(p.x) AS c
+           FROM {p} p JOIN edges e ON e.src = p.vertex GROUP BY e.dst),
+  u{k} AS (SELECT v.vertex, coalesce(c.c, 0.0) AS x
+           FROM vertices v LEFT JOIN c{k} c ON c.vertex = v.vertex),
+  n{k} AS (SELECT sqrt(sum(x * x)) AS nrm FROM u{k}),
+  x{k} AS (SELECT vertex,
+             CASE WHEN (SELECT nrm FROM n{k}) > 0
+                  THEN x / (SELECT nrm FROM n{k}) ELSE 0.0 END AS x
+           FROM u{k})
+"""
+        )
+    parts.append("SELECT vertex, round(x, 6) AS eig FROM x4 ORDER BY vertex")
+    return "".join(parts)
+
+
+def _simrank2_sql() -> str:
+    """2 unrolled SimRank iterations matching operators/linkpred.py::simrank
+    exactly: the ordered score table (diagonal = 1, off-diagonal =
+    c·Σ/(|I(a)|·|I(b)|)) replayed as CTEs over the sparsified order graph,
+    then the same a<b / 6dp / ≥0.01 emission as the Spark query."""
+    c = 0.8
+    parts = [
+        f"WITH {_EDGES_SPARSE_SQL},",
+        """
+  ein AS (SELECT DISTINCT src AS u, dst AS a FROM edges WHERE src != dst),
+  sverts AS (SELECT DISTINCT vertex FROM (
+               SELECT u AS vertex FROM ein UNION ALL SELECT a FROM ein)),
+  ind AS (SELECT a, count(*)::DOUBLE AS d FROM ein GROUP BY a),
+  s0 AS (SELECT vertex AS u, vertex AS v, 1.0 AS s FROM sverts)
+""",
+    ]
+    for k in range(1, 3):
+        p = f"s{k - 1}"
+        parts.append(
+            f""",
+  raw{k} AS (SELECT ea.a, eb.a AS b, sum(s.s) AS m
+             FROM {p} s JOIN ein ea ON ea.u = s.u
+             JOIN ein eb ON eb.u = s.v
+             WHERE ea.a != eb.a GROUP BY ea.a, eb.a),
+  s{k} AS (SELECT r.a AS u, r.b AS v, {c} * r.m / (ia.d * ib.d) AS s
+           FROM raw{k} r JOIN ind ia ON ia.a = r.a JOIN ind ib ON ib.a = r.b
+           UNION ALL SELECT vertex, vertex, 1.0 FROM sverts)
+"""
+        )
+    parts.append(
+        """
+SELECT u AS a, v AS b, round(s, 6) AS simrank FROM s2
+WHERE u < v AND round(s, 6) >= 0.01 ORDER BY a, b"""
+    )
+    return "".join(parts)
+
+
 PPR_SEED_CAP = 10  # personalized-PageRank seed set: vertices with id < cap
 
 _PPR_TELE_SQL = (
@@ -4251,6 +4353,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_pagerank5": graph_pagerank5,
         "graph_pagerank5_weighted": graph_pagerank5_weighted,
         "graph_katz3": graph_katz3,
+        "graph_eigenvector4": graph_eigenvector4,
+        "graph_simrank2": graph_simrank2,
         "graph_ppr5": graph_ppr5,
         "graph_labelprop3": graph_labelprop3,
         "graph_labelprop3_weighted": graph_labelprop3_weighted,
@@ -4759,6 +4863,8 @@ ORDER BY n_hits DESC, doc_id LIMIT 50
         "graph_pagerank5": _pagerank5_sql(),
         "graph_pagerank5_weighted": _pagerank5_weighted_sql(),
         "graph_katz3": _katz3_sql(),
+        "graph_eigenvector4": _eigenvector4_sql(),
+        "graph_simrank2": _simrank2_sql(),
         "graph_ppr5": _pagerank5_sql(_PPR_TELE_SQL),
         "graph_labelprop3": _labelprop3_sql(),
         "graph_labelprop3_weighted": _labelprop3_weighted_sql(),

@@ -150,3 +150,84 @@ def link_prediction_scores(
             "ra",
         )
     )
+
+
+def simrank(
+    spark,
+    edges: DataFrame,
+    *,
+    c: float = 0.8,
+    iters: int = 2,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """SimRank (Jeh & Widom, KDD 2002) truncated at ``iters`` iterations —
+    "two objects are similar if they are referenced by similar objects":
+
+        s_0 = I
+        s_k(a, b) = c / (|I(a)|·|I(b)|) · Σ_{u∈I(a), v∈I(b)} s_{k-1}(u, v)
+                    for a ≠ b;  s_k(a, a) = 1
+
+    over DIRECTED in-neighborhoods I(·).  Returns the ORDERED sparse score
+    table (u, v, s) — both orientations of every scored pair plus the unit
+    diagonal; rows absent mean s = 0 (pairs with no common in-walk support).
+
+    Plan shape: one iteration is s ⋈ in-edges (on u) ⋈ in-edges (on v) +
+    one hash aggregation — work is Σ over scored pairs of
+    |out(u)|·|out(v)|, i.e. sparse co-citation fan-out, never n².  The
+    in-degree normalizers live in one small persisted dim joined after the
+    aggregate.  Like the link-prediction self-join above, a degree-d hub
+    fans into d² first-iteration pairs: at web scale sparsify or hub-cap
+    the edge table first (the gated query runs the sparsified order graph).
+    State is checkpointed per iteration (superstep discipline — the score
+    table re-enters its own next-round plan).
+    """
+    from parallel_betweenness_centrality_using_bsp_spark.plans.superstep import guard_stats
+
+    p = num_partitions or spark.sparkContext.defaultParallelism
+    ein = (
+        edges.select(F.col("src").alias("u"), F.col("dst").alias("a"))
+        .where(F.col("u") != F.col("a"))
+        .dropDuplicates(["u", "a"])
+        .repartition(p, "u")
+        .persist()
+    )
+    ein.count()
+    verts = (
+        ein.select(F.col("u").alias("vertex"))
+        .unionByName(ein.select(F.col("a").alias("vertex")))
+        .distinct()
+        .persist()
+    )
+    ind = (
+        ein.groupBy("a")
+        .agg(F.count(F.lit(1)).cast("double").alias("d"))
+        .persist()
+    )
+    diag = verts.select(
+        F.col("vertex").alias("u"), F.col("vertex").alias("v"), F.lit(1.0).alias("s")
+    )
+    s = diag.localCheckpoint(eager=True).transform(guard_stats)
+    for _ in range(iters):
+        raw = (
+            s.join(ein, "u")
+            .join(
+                ein.select(F.col("u").alias("v"), F.col("a").alias("b")), "v"
+            )
+            .where(F.col("a") != F.col("b"))
+            .groupBy("a", "b")
+            .agg(F.sum("s").alias("m"))
+        )
+        off = (
+            raw.join(ind.select("a", F.col("d").alias("_ia")), "a")
+            .join(ind.select(F.col("a").alias("b"), F.col("d").alias("_ib")), "b")
+            .select(
+                F.col("a").alias("u"),
+                F.col("b").alias("v"),
+                (F.lit(c) * F.col("m") / (F.col("_ia") * F.col("_ib"))).alias("s"),
+            )
+        )
+        s = diag.unionByName(off).localCheckpoint(eager=True).transform(guard_stats)
+    ein.unpersist()
+    ind.unpersist()
+    verts.unpersist()
+    return s

@@ -316,3 +316,88 @@ def katz(
     edges_p.unpersist()
     vertices.unpersist()
     return run
+
+
+def eigenvector_centrality(
+    spark: SparkSession,
+    edges: DataFrame,
+    *,
+    max_supersteps: int = 4,
+    checkpoint_dir: str | None = None,
+    run_id: str | None = None,
+    num_partitions: int | None = None,
+    resume_state: DataFrame | None = None,
+    start_step: int = 0,
+    count_rows: bool = True,
+    bucket_state: bool = False,
+) -> SuperstepRun:
+    """Eigenvector centrality by fixed-k power iteration:
+
+    ``x_{k+1} = Aᵀ x_k / ‖Aᵀ x_k‖₂``, ``x_0 = 1/√n`` (unit L2 norm).
+
+    The dominant-eigenvector analogue of the katz/pagerank kernels — no
+    teleport, no out-degree normalization, mass flows along in-edges and the
+    whole vector is rescaled to unit length each superstep.  The fixed
+    superstep count (instead of a convergence tolerance) is what makes the
+    result exactly unrollable by a SQL oracle; convergence to the true
+    eigenvector is geometric in λ₂/λ₁ as usual for power iteration.
+
+    Plan shape is the pagerank kernel's: edge table shuffled to hash(src)
+    once and persisted; each superstep is one join + one map-side-combined
+    hash agg over the n-vertex state, plus the L2 norm as an IN-PLAN
+    broadcast 1-row aggregate (same discipline as pagerank's dangling mass
+    — no extra driver-side job per superstep).  A graph whose k-step
+    in-walk mass dies out entirely (e.g. a depth-1 DAG by step 2) yields
+    the all-zero vector rather than a 0/0 NaN.  Returns state
+    (vertex, x)."""
+    p = num_partitions or spark.sparkContext.defaultParallelism
+    e = edges.select("src", "dst").dropDuplicates(["src", "dst"])
+    vertices = (
+        e.select(F.col("src").alias("vertex"))
+        .unionByName(e.select(F.col("dst").alias("vertex")))
+        .distinct()
+        .repartition(p, "vertex")
+        .persist()
+    )
+    n = vertices.count()
+    edges_p = e.repartition(p, "src").persist()
+    edges_p.count()
+
+    initial = vertices.select("vertex", F.lit(1.0 / (n ** 0.5)).alias("x"))
+
+    def step(state: DataFrame, _k: int) -> DataFrame:
+        contribs = (
+            state.join(edges_p, state.vertex == edges_p.src)
+            .select(edges_p.dst.alias("vertex"), F.col("x").alias("c"))
+            .groupBy("vertex")
+            .agg(F.sum("c").alias("c"))
+        )
+        xun = vertices.join(contribs, "vertex", "left").select(
+            "vertex", F.coalesce("c", F.lit(0.0)).alias("_xu")
+        )
+        nrm = xun.agg(
+            F.sqrt(F.sum(F.col("_xu") * F.col("_xu"))).alias("_nrm")
+        )
+        return xun.join(F.broadcast(nrm)).select(
+            "vertex",
+            F.when(F.col("_nrm") > 0, F.col("_xu") / F.col("_nrm"))
+            .otherwise(F.lit(0.0))
+            .alias("x"),
+        )
+
+    run = superstep_loop(
+        spark,
+        resume_state if resume_state is not None else initial,
+        step,
+        algo="eigenvector",
+        max_supersteps=max_supersteps,
+        converged_fn=None,
+        checkpoint_dir=checkpoint_dir,
+        run_id=run_id,
+        start_step=start_step,
+        count_rows=count_rows,
+        bucket_state_by=["vertex"] if bucket_state else None,
+    )
+    edges_p.unpersist()
+    vertices.unpersist()
+    return run

@@ -74,3 +74,63 @@ def test_link_prediction_scores_match_networkx(spark):
         assert np.isclose(r["jaccard"], jc[k], atol=1e-9), k
         assert np.isclose(r["ra"], ra[k], atol=1e-9), k
         assert r["cn"] == len(list(nx.common_neighbors(g, *k)))
+
+
+def _simrank_reference(edges, c=0.8, iters=2):
+    """Pure-python truncated SimRank replay (ordered pairs incl. diagonal)."""
+    ein = {}
+    verts = set()
+    for u, a in set(edges):
+        if u == a:
+            continue
+        ein.setdefault(a, set()).add(u)
+        verts.update((u, a))
+    s = {(v, v): 1.0 for v in verts}
+    for _ in range(iters):
+        nxt = {(v, v): 1.0 for v in verts}
+        for a in verts:
+            for b in verts:
+                if a == b or a not in ein or b not in ein:
+                    continue
+                m = sum(s.get((u, v), 0.0) for u in ein[a] for v in ein[b])
+                if m:
+                    nxt[(a, b)] = c * m / (len(ein[a]) * len(ein[b]))
+        s = nxt
+    return s
+
+
+def test_simrank_matches_reference(spark):
+    from parallel_betweenness_centrality_using_bsp_spark.operators.linkpred import simrank
+
+    rng = np.random.default_rng(7)
+    edges = list({(int(rng.integers(0, 25)), int(rng.integers(0, 25))) for _ in range(80)})
+    edges = [(u, v) for u, v in edges if u != v]
+    got = {
+        (r["u"], r["v"]): r["s"]
+        for r in simrank(spark, edge_df(spark, edges), c=0.8, iters=2).collect()
+    }
+    want = {k: v for k, v in _simrank_reference(edges, c=0.8, iters=2).items() if v > 0}
+    assert set(got) == set(want)
+    for k, v in want.items():
+        assert np.isclose(got[k], v, atol=1e-9)
+    # symmetry + unit diagonal invariants of the recurrence
+    for (u, v), sv in got.items():
+        if u != v:
+            assert np.isclose(sv, got[(v, u)], atol=1e-12)
+        else:
+            assert sv == 1.0
+
+
+def test_simrank_iter1_is_normalized_cocitation(spark):
+    # one iteration from s0=I: s1(a,b) = c·|I(a)∩I(b)| / (|I(a)|·|I(b)|)
+    from parallel_betweenness_centrality_using_bsp_spark.operators.linkpred import simrank
+
+    #       0→2, 1→2, 0→3, 1→3, 4→3  : I(2)={0,1}, I(3)={0,1,4}
+    e = edge_df(spark, [(0, 2), (1, 2), (0, 3), (1, 3), (4, 3)])
+    got = {
+        (r["u"], r["v"]): r["s"]
+        for r in simrank(spark, e, c=0.8, iters=1).collect()
+    }
+    assert np.isclose(got[(2, 3)], 0.8 * 2 / (2 * 3), atol=1e-12)
+    assert np.isclose(got[(3, 2)], 0.8 * 2 / (2 * 3), atol=1e-12)
+    assert all(got[(v, v)] == 1.0 for v in (0, 1, 2, 3, 4))

@@ -142,3 +142,40 @@ def test_pagerank_warm_start_converges_faster_same_fixpoint(spark):
     seed_dist = sum(abs(prev.get(v, 1.0 / n) - want[v]) for v in want)
     uniform_dist = sum(abs(1.0 / n - want[v]) for v in want)
     assert seed_dist < 0.25 * uniform_dist
+
+
+def test_eigenvector_centrality_matches_numpy(spark):
+    import numpy as np
+
+    from parallel_betweenness_centrality_using_bsp_spark.operators.pagerank import eigenvector_centrality
+
+    rng = np.random.default_rng(11)
+    edges = list({(int(rng.integers(0, 40)), int(rng.integers(0, 40))) for _ in range(200)})
+    edges = [(u, v) for u, v in edges if u != v]
+    verts = sorted({u for e in edges for u in e})
+    idx = {v: i for i, v in enumerate(verts)}
+    n = len(verts)
+    A = np.zeros((n, n))
+    for u, v in edges:
+        A[idx[u], idx[v]] = 1.0
+    x = np.full(n, 1.0 / np.sqrt(n))
+    for _ in range(4):
+        x = A.T @ x
+        nrm = np.sqrt((x * x).sum())
+        x = x / nrm if nrm > 0 else np.zeros(n)
+    run = eigenvector_centrality(spark, edge_df(spark, edges), max_supersteps=4)
+    got = {r["vertex"]: r["x"] for r in run.state.collect()}
+    assert set(got) == set(verts)
+    for v in verts:
+        assert np.isclose(got[v], x[idx[v]], atol=1e-9)
+
+
+def test_eigenvector_zero_norm_guard(spark):
+    # depth-1 DAG: step 1 puts all mass on sinks, step 2's Aᵀx is all-zero
+    # (no sink has out-edges) → the guard yields the all-zero vector, not NaN
+    from parallel_betweenness_centrality_using_bsp_spark.operators.pagerank import eigenvector_centrality
+
+    e = edge_df(spark, [(0, 2), (1, 2), (0, 3)])
+    run = eigenvector_centrality(spark, e, max_supersteps=2)
+    got = {r["vertex"]: r["x"] for r in run.state.collect()}
+    assert all(v == 0.0 for v in got.values())
