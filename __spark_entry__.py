@@ -1530,6 +1530,98 @@ def graph_simrank2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def graph_square_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rectangle (4-cycle) count over the undirected order graph — the
+    quadrilateral sibling of triangle counting, the standard bipartite-ish
+    cohesion statistic.  Non-induced C4 = Σ_{u<v} C(codeg(u,v), 2) / 2
+    (each cycle is counted once per opposite pair); codegrees come from ONE
+    2-path self-join + hash agg, work Σ_w deg(w)² exactly like the
+    link-prediction kernel.  All-integer until the final division: Σ m(m−1)
+    is divisible by 4, so n_squares is exact."""
+    from parallel_betweenness_centrality_using_bsp_spark.operators.edges import symmetrize
+
+    und = symmetrize(_order_edges(spark, sf_dir))
+    a = und.select(F.col("src").alias("w"), F.col("dst").alias("u"))
+    b = und.select(F.col("src").alias("w"), F.col("dst").alias("v"))
+    codeg = (
+        a.join(b, "w")
+        .where(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("m"))
+    )
+    mm = F.col("m") * (F.col("m") - F.lit(1))
+    return codeg.agg(
+        (F.sum(mm) / F.lit(2)).cast("long").alias("n_copair_wedges"),
+        (F.sum(mm) / F.lit(4)).cast("long").alias("n_squares"),
+    )
+
+
+def graph_degree_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of the undirected degree distribution — the
+    one-scalar skew statistic that tells you whether hub-salting will
+    matter.  Ranks are the tie-broken (deg ASC, vertex ASC) total order via
+    the two-phase global ranking (no single-partition window over a
+    10^9-vertex degree table); all sums are exact BIGINTs, the only float
+    is the final coefficient at 6dp."""
+    from parallel_betweenness_centrality_using_bsp_spark.operators.edges import (
+        densify_vertices,
+        symmetrize,
+    )
+
+    e = _order_edges(spark, sf_dir)
+    deg = (
+        symmetrize(e)
+        .groupBy(F.col("src").alias("vertex"))
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    rk = densify_vertices(deg, ["deg", "vertex"], id_col="r0")
+    n = F.count(F.lit(1))
+    return rk.agg(
+        n.cast("long").alias("n_vertices"),
+        F.round(
+            F.lit(2.0)
+            * F.sum((F.col("r0") + 1) * F.col("deg"))
+            / (n * F.sum("deg"))
+            - (n + F.lit(1.0)) / n,
+            6,
+        ).alias("gini"),
+    )
+
+
+def doc_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLS slope of ln(frequency) on ln(rank) over the corpus's top-100
+    terms — the Zipf-law fit, the standard sanity analytic on a new text
+    corpus (slope ≈ −1 for natural language).  The rank order is the
+    tie-broken (count DESC, term ASC) total order; only the top-100 rows
+    ever enter a single-partition window, so the plan is TakeOrdered +
+    a 100-row window + one aggregate at any corpus size."""
+    from pyspark.sql import Window
+
+    from parallel_betweenness_centrality_using_bsp_spark.functions.text import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    tc = (
+        d.select(F.explode(tokens("text")).alias("term"))
+        .where(F.length("term") > 0)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    top = tc.orderBy(F.col("cnt").desc(), "term").limit(100)
+    ranked = top.withColumn(
+        "r", F.row_number().over(Window.orderBy(F.col("cnt").desc(), "term"))
+    )
+    x, y = F.log(F.col("r").cast("double")), F.log(F.col("cnt").cast("double"))
+    n = F.count(F.lit(1)).cast("double")
+    return ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.round(
+            (n * F.sum(x * y) - F.sum(x) * F.sum(y))
+            / (n * F.sum(x * x) - F.sum(x) * F.sum(x)),
+            6,
+        ).alias("zipf_slope"),
+    )
+
+
 def _pagerank5_weighted_sql() -> str:
     """The weighted twin of ``_pagerank5_sql``: outdeg becomes the per-src
     weight sum and each contribution is pr·w/od."""
@@ -3841,6 +3933,48 @@ WHERE u < v AND round(s, 6) >= 0.01 ORDER BY a, b"""
     return "".join(parts)
 
 
+def _square_count_sql() -> str:
+    """Codegree pair-counting twin of graph_square_count: non-induced
+    C4 = Σ_{u<v} C(codeg, 2) / 2, all-integer until the final division."""
+    return f"""WITH {_EDGES_SQL},
+  codeg AS (SELECT a.dst AS u, b.dst AS v, count(*)::BIGINT AS m
+            FROM und a JOIN und b ON b.src = a.src AND a.dst < b.dst
+            GROUP BY a.dst, b.dst)
+SELECT (sum(m * (m - 1)) / 2)::BIGINT AS n_copair_wedges,
+       (sum(m * (m - 1)) / 4)::BIGINT AS n_squares
+FROM codeg"""
+
+
+def _degree_gini_sql() -> str:
+    """Ranked-sum Gini twin of graph_degree_gini over the identical
+    (deg ASC, vertex ASC) tie-broken total order."""
+    return f"""WITH {_EDGES_SQL},
+  degt AS (SELECT src AS vertex, count(*)::BIGINT AS deg FROM und GROUP BY src),
+  rk AS (SELECT deg, row_number() OVER (ORDER BY deg, vertex)::BIGINT AS r
+         FROM degt)
+SELECT count(*)::BIGINT AS n_vertices,
+       round(2.0 * sum(r * deg) / (count(*) * sum(deg))
+             - (count(*) + 1.0) / count(*), 6) AS gini
+FROM rk"""
+
+
+def _zipf_slope_sql() -> str:
+    """OLS ln(freq)~ln(rank) twin of doc_zipf_slope over the identical
+    (count DESC, term ASC) top-100 term order and whitespace tokens."""
+    return r"""WITH toks AS (
+    SELECT unnest(regexp_extract_all(lower(trim(text)), '\S+')) AS term
+    FROM documents),
+  tc AS (SELECT term, count(*)::BIGINT AS cnt FROM toks GROUP BY term),
+  top AS (SELECT cnt,
+                 row_number() OVER (ORDER BY cnt DESC, term)::BIGINT AS r
+          FROM tc ORDER BY cnt DESC, term LIMIT 100)
+SELECT count(*)::BIGINT AS n_terms,
+       round((count(*) * sum(ln(r) * ln(cnt)) - sum(ln(r)) * sum(ln(cnt)))
+             / (count(*) * sum(ln(r) * ln(r)) - sum(ln(r)) * sum(ln(r))),
+             6) AS zipf_slope
+FROM top"""
+
+
 PPR_SEED_CAP = 10  # personalized-PageRank seed set: vertices with id < cap
 
 _PPR_TELE_SQL = (
@@ -4355,6 +4489,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_katz3": graph_katz3,
         "graph_eigenvector4": graph_eigenvector4,
         "graph_simrank2": graph_simrank2,
+        "graph_square_count": graph_square_count,
+        "graph_degree_gini": graph_degree_gini,
+        "doc_zipf_slope": doc_zipf_slope,
         "graph_ppr5": graph_ppr5,
         "graph_labelprop3": graph_labelprop3,
         "graph_labelprop3_weighted": graph_labelprop3_weighted,
@@ -4865,6 +5002,9 @@ ORDER BY n_hits DESC, doc_id LIMIT 50
         "graph_katz3": _katz3_sql(),
         "graph_eigenvector4": _eigenvector4_sql(),
         "graph_simrank2": _simrank2_sql(),
+        "graph_square_count": _square_count_sql(),
+        "graph_degree_gini": _degree_gini_sql(),
+        "doc_zipf_slope": _zipf_slope_sql(),
         "graph_ppr5": _pagerank5_sql(_PPR_TELE_SQL),
         "graph_labelprop3": _labelprop3_sql(),
         "graph_labelprop3_weighted": _labelprop3_weighted_sql(),
