@@ -34,7 +34,8 @@ def build_parser() -> argparse.ArgumentParser:
                              "sssp", "kcore", "coreness", "wl", "walks", "hits", "salsa",
                              "betweenness-weighted", "betweenness-weighted-csr",
                              "louvain", "katz", "node2vec", "egonet", "msf",
-                             "anf", "triangles-incremental"])
+                             "anf", "triangles-incremental", "eigenvector",
+                             "simrank"])
     src = ap.add_mutually_exclusive_group(required=True)
     src.add_argument("--edges", help="parquet path of (src,dst) edge table")
     src.add_argument("--repo-files", help="parquet path of repo_files table")
@@ -120,7 +121,8 @@ def main(argv: list[str] | None = None) -> None:
                      "labelprop": "label_propagation", "sssp": "sssp",
                      "kcore": "kcore", "coreness": "coreness", "wl": "wl",
                      "walks": "walks", "hits": "hits", "salsa": "salsa",
-                     "katz": "katz", "node2vec": "node2vec"}.get(args.algo)
+                     "katz": "katz", "node2vec": "node2vec",
+                     "eigenvector": "eigenvector"}.get(args.algo)
         if algo_name is None:
             raise SystemExit(
                 f"--resume is not supported for --algo {args.algo} "
@@ -251,6 +253,19 @@ def main(argv: list[str] | None = None) -> None:
                    max_supersteps=args.max_supersteps,
                    bucket_state=args.bucket_state, **common)
         out = run.state
+    elif args.algo == "eigenvector":
+        from parallel_betweenness_centrality_using_bsp_spark.operators.pagerank import eigenvector_centrality
+
+        run = eigenvector_centrality(spark, e,
+                                     max_supersteps=args.max_supersteps,
+                                     bucket_state=args.bucket_state, **common)
+        out = run.state
+    elif args.algo == "simrank":
+        from parallel_betweenness_centrality_using_bsp_spark.operators.linkpred import simrank
+
+        # --max-supersteps doubles as the iteration count (default far too
+        # high for SimRank's O(pairs) state growth — clamp to the usual 2)
+        out = simrank(spark, e, iters=min(args.max_supersteps, 5))
     elif args.algo == "node2vec":
         from pyspark.sql import functions as F
 
