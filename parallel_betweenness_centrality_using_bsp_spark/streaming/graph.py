@@ -249,3 +249,91 @@ def run_component_maintenance_once(
     import os
 
     return spark.read.parquet(os.path.join(state_dir, "labels"))
+
+
+def fold_pagerank_batch(
+    spark: SparkSession,
+    batch: DataFrame,
+    state_dir: str,
+    *,
+    alpha: float = 0.85,
+    tol: float = 1e-10,
+    max_supersteps: int = 100,
+) -> int:
+    """Fold one batch of (src, dst) edges into a running PageRank table
+    under ``state_dir/ranks`` and return the supersteps this fold used.
+
+    Unlike component labels, a rank vector is NOT a complete summary of the
+    graph (the walk matrix needs every edge), so the accumulated edge set
+    lives under ``state_dir/edges`` like the triangle fold's — but the
+    re-solve is WARM-STARTED from the previous rank vector
+    (``pagerank_warm_start``): power iteration contracts error by the
+    damping factor per step, so a micro-batch delta converges in a handful
+    of supersteps instead of a cold start's full O(log(1/tol)/log(1/α)).
+    The final vector equals a cold solve on everything seen (both converge
+    to the same fixpoint within tolerance), which is what the pytest pins.
+    The overwrite is safe because the new ranks are materialized
+    (localCheckpoint) before the old table is replaced."""
+    import os
+
+    from parallel_betweenness_centrality_using_bsp_spark.operators.pagerank import (
+        pagerank,
+        pagerank_warm_start,
+    )
+
+    edges_dir = os.path.join(state_dir, "edges")
+    ranks_dir = os.path.join(state_dir, "ranks")
+    fresh = batch.select("src", "dst").localCheckpoint(eager=True)
+    warm = os.path.isdir(ranks_dir)
+    fresh.write.mode("append").parquet(edges_dir)
+    all_edges = spark.read.parquet(edges_dir)
+    if warm:
+        prev = spark.read.parquet(ranks_dir)
+        run = pagerank_warm_start(
+            spark, all_edges, prev,
+            alpha=alpha, tol=tol, max_supersteps=max_supersteps,
+            count_rows=False,
+        )
+    else:
+        run = pagerank(
+            spark, all_edges,
+            alpha=alpha, tol=tol, max_supersteps=max_supersteps,
+            count_rows=False,
+        )
+    new = run.state.localCheckpoint(eager=True)
+    new.write.mode("overwrite").parquet(ranks_dir)
+    return run.supersteps
+
+
+def run_pagerank_maintenance_once(
+    spark: SparkSession,
+    src_path: str,
+    state_dir: str,
+    checkpoint: str,
+    max_files_per_trigger: int | None = None,
+    *,
+    alpha: float = 0.85,
+    tol: float = 1e-10,
+) -> DataFrame:
+    """One availableNow pass of the PageRank-maintenance loop: parquet
+    edge-file stream → foreachBatch(fold_pagerank_batch) → rank table under
+    ``state_dir/ranks``; returns the final ranks DataFrame (equal to a cold
+    solve over every edge seen, to the convergence tolerance)."""
+    reader = spark.readStream.schema("src long, dst long")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    q = (
+        reader.parquet(src_path)
+        .writeStream.foreachBatch(
+            lambda b, _id: fold_pagerank_batch(
+                spark, b, state_dir, alpha=alpha, tol=tol
+            )
+        )
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    import os
+
+    return spark.read.parquet(os.path.join(state_dir, "ranks"))

@@ -477,3 +477,32 @@ def test_stream_component_maintenance_matches_cold(spark, tmp_path):
     g = {r["vertex"]: r["label"] for r in got.collect()}
     w = {r["vertex"]: r["label"] for r in want.select("vertex", "label").collect()}
     assert g == w
+
+
+def test_streaming_pagerank_maintenance_matches_cold(spark, tmp_path):
+    from parallel_betweenness_centrality_using_bsp_spark.operators.pagerank import pagerank
+    from parallel_betweenness_centrality_using_bsp_spark.sources.graphs import edge_df
+    from parallel_betweenness_centrality_using_bsp_spark.streaming.graph import (
+        run_pagerank_maintenance_once,
+    )
+    from tests.oracles import er_graph
+
+    edges = er_graph(n=80, p=0.05, seed=23)
+    src, state, ckpt = (str(tmp_path / d) for d in ("srcp", "statep", "ckptp"))
+    third = len(edges) // 3
+    for part in (edges[:third], edges[third : 2 * third], edges[2 * third :]):
+        edge_df(spark, part).coalesce(1).write.mode("append").parquet(src)
+
+    got = run_pagerank_maintenance_once(
+        spark, src, state, ckpt, max_files_per_trigger=1, tol=1e-12
+    )
+    want = pagerank(
+        spark, edge_df(spark, edges), tol=1e-12, max_supersteps=100, count_rows=False
+    ).state
+    g = {r["vertex"]: r["pr"] for r in got.collect()}
+    w = {r["vertex"]: r["pr"] for r in want.collect()}
+    assert set(g) == set(w)
+    for v, pr in w.items():
+        assert abs(g[v] - pr) < 1e-8, v
+    # the running vector is a probability distribution after every fold
+    assert abs(sum(g.values()) - 1.0) < 1e-9
