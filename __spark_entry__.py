@@ -1550,9 +1550,12 @@ def graph_square_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("m"))
     )
     mm = F.col("m") * (F.col("m") - F.lit(1))
-    return codeg.agg(
-        (F.sum(mm) / F.lit(2)).cast("long").alias("n_copair_wedges"),
-        (F.sum(mm) / F.lit(4)).cast("long").alias("n_squares"),
+    # `div` (integral division), not `/`: float division detours through
+    # double and loses exactness past 2^53 — wedge sums on a 10^12-edge
+    # graph get there
+    return codeg.agg(F.sum(mm).alias("_s")).select(
+        F.expr("_s div 2").alias("n_copair_wedges"),
+        F.expr("_s div 4").alias("n_squares"),
     )
 
 
@@ -3940,8 +3943,8 @@ def _square_count_sql() -> str:
   codeg AS (SELECT a.dst AS u, b.dst AS v, count(*)::BIGINT AS m
             FROM und a JOIN und b ON b.src = a.src AND a.dst < b.dst
             GROUP BY a.dst, b.dst)
-SELECT (sum(m * (m - 1)) / 2)::BIGINT AS n_copair_wedges,
-       (sum(m * (m - 1)) / 4)::BIGINT AS n_squares
+SELECT (sum(m * (m - 1)) // 2)::BIGINT AS n_copair_wedges,
+       (sum(m * (m - 1)) // 4)::BIGINT AS n_squares
 FROM codeg"""
 
 
