@@ -1256,6 +1256,52 @@ def graph_neighborhood_function(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def graph_harmonic_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperBall-style approximate harmonic centrality for EVERY vertex
+    from the same bottom-k propagation (Boldi-Vigna with KMV counters):
+    H(v) = Σ_h (|B(v,h)|−|B(v,h−1)|)/h.  The all-vertex counterpart of the
+    sampled-source closeness gates; the twin replays every round and the
+    identical estimator/difference arithmetic."""
+    from parallel_betweenness_centrality_using_bsp_spark.operators.anf import harmonic_sketch
+
+    e = _order_edges(spark, sf_dir)
+    return (
+        harmonic_sketch(spark, e, hops=ANF_HOPS, k=ANF_K)
+        .select("vertex", F.round("harmonic_est", 6).alias("harmonic_est"))
+        .orderBy("vertex")
+    )
+
+
+def _harmonic_sketch_sql() -> str:
+    """Per-hop KMV ball estimates over the _anf_sql round chain, folded
+    into Σ (b_h − b_{h−1})/h per vertex."""
+    base = _anf_sql()
+    tail_start = base.rindex("SELECT vertex, count(*)")
+    est = (
+        f"CASE WHEN count(*) < {ANF_K} THEN count(*)::DOUBLE "
+        f"ELSE ({ANF_K - 1}.0 * 1152921504606846976.0) / max(h) END"
+    )
+    ball_ctes = ",\n".join(
+        f"b{i} AS (SELECT vertex, {est} AS est FROM s{i} GROUP BY vertex)"
+        for i in range(ANF_HOPS + 1)
+    )
+    diff_terms = " + ".join(
+        f"(b{i}.est - b{i - 1}.est) / {i}.0" for i in range(1, ANF_HOPS + 1)
+    )
+    joins = "".join(
+        f" JOIN b{i} ON b{i}.vertex = b0.vertex" for i in range(1, ANF_HOPS + 1)
+    )
+    return (
+        base[:tail_start]
+        + ",\n"
+        + ball_ctes
+        + f"""
+        SELECT b0.vertex, round({diff_terms}, 6) AS harmonic_est
+        FROM b0{joins} ORDER BY b0.vertex
+    """
+    )
+
+
 def _nf_sql() -> str:
     """Per-round KMV totals over the _anf_sql round chain."""
     rounds = [
@@ -4483,6 +4529,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_effective_diameter": graph_effective_diameter,
         "graph_neighborhood_function": graph_neighborhood_function,
         "graph_anf_sketch": graph_anf_sketch,
+        "graph_harmonic_sketch": graph_harmonic_sketch,
         "graph_triangles_incremental": graph_triangles_incremental,
         "graph_components": graph_components,
         "graph_components_incremental": graph_components_incremental,
@@ -4960,6 +5007,7 @@ ORDER BY n_hits DESC, doc_id LIMIT 50
             WHERE e1.src < e1.dst AND e2.src < e2.dst
         """,
         "graph_anf_sketch": _anf_sql(),
+        "graph_harmonic_sketch": _harmonic_sketch_sql(),
         "graph_neighborhood_function": _nf_sql(),
         "graph_effective_diameter": _eff_diameter_sql(),
         # the incremental path must land on the identical full-graph number

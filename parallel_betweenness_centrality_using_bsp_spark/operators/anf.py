@@ -170,3 +170,75 @@ def effective_diameter(
         if r["nf_est"] >= target:
             return int(r["hop"])
     return max_hops
+
+
+def harmonic_sketch(
+    spark: SparkSession,
+    edges: DataFrame,
+    hops: int,
+    k: int = 32,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """(vertex, harmonic_est): HyperBall-style approximate harmonic
+    centrality for EVERY vertex (Boldi & Vigna 2014, with KMV in place of
+    HLL counters):
+
+        H(v) ≈ Σ_{h=1..hops} (|B(v,h)| − |B(v,h−1)|) / h
+
+    — the number of vertices first reached at distance h, each weighted
+    1/h.  This is the centrality the sampled-source closeness gates CANNOT
+    give: those pay one BFS per source, this pays the one sketch
+    propagation (k·m message rows per round) and reads every vertex's
+    centrality off the per-hop ball sizes.  Exact while balls are
+    unsaturated (< k hashes — the sketch IS the ball), the standard KMV
+    estimate after; differences inherit the estimator's noise exactly as
+    HyperBall's do.  All sketch arithmetic is integer-exact on the md5
+    family, so a SQL twin replays it bit-for-bit."""
+    p = num_partitions or spark.sparkContext.defaultParallelism
+    und = symmetrize(edges).repartition(p, "src").persist()
+    und.count()
+
+    verts = und.select(F.col("src").alias("vertex")).distinct()
+    state = verts.select("vertex", _vertex_hash("vertex").alias("h"))
+    w = Window.partitionBy("vertex").orderBy("h")
+
+    balls = [
+        neighborhood_estimates(state, k).select(
+            "vertex", F.lit(0).alias("hop"), "ball_est"
+        )
+    ]
+    for i in range(hops):
+        msgs = (
+            state.alias("st")
+            .join(und.alias("un"), F.col("st.vertex") == F.col("un.src"))
+            .select(F.col("un.dst").alias("vertex"), F.col("st.h").alias("h"))
+        )
+        state = (
+            state.unionByName(msgs)
+            .distinct()
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= k)
+            .drop("_rn")
+            .localCheckpoint(eager=True)
+            .transform(guard_stats)
+        )
+        balls.append(
+            neighborhood_estimates(state, k).select(
+                "vertex", F.lit(i + 1).alias("hop"), "ball_est"
+            )
+        )
+    und.unpersist()
+    all_balls = balls[0]
+    for df in balls[1:]:
+        all_balls = all_balls.unionByName(df)
+    wv = Window.partitionBy("vertex").orderBy("hop")
+    return (
+        all_balls.withColumn("_prev", F.lag("ball_est").over(wv))
+        .where(F.col("hop") >= 1)
+        .groupBy("vertex")
+        .agg(
+            F.sum(
+                (F.col("ball_est") - F.col("_prev")) / F.col("hop")
+            ).alias("harmonic_est")
+        )
+    )

@@ -83,3 +83,40 @@ def test_saturated_estimate_reasonable(spark):
     assert ratios, "expected saturated vertices"
     mean = sum(ratios) / len(ratios)
     assert 0.6 < mean < 1.5
+
+
+def test_harmonic_sketch_exact_when_unsaturated(spark):
+    # k far above every ball size → the sketch IS the ball, so the
+    # estimate equals truncated harmonic centrality Σ_{d(u,v) ≤ hops} 1/d
+    from parallel_betweenness_centrality_using_bsp_spark.operators.anf import harmonic_sketch
+
+    edges = er_graph(n=40, p=0.08, seed=31)
+    hops = 3
+    got = {
+        r["vertex"]: r["harmonic_est"]
+        for r in harmonic_sketch(spark, edge_df(spark, edges), hops=hops, k=512).collect()
+    }
+    g = nx.Graph(edges)
+    for v in g.nodes:
+        want = sum(
+            1.0 / d
+            for u, d in nx.single_source_shortest_path_length(g, v, cutoff=hops).items()
+            if u != v and d > 0
+        )
+        assert abs(got[v] - want) < 1e-9, v
+
+
+def test_harmonic_sketch_star_center(spark):
+    # star: center reaches all n-1 leaves at d=1 (H=n-1); each leaf reaches
+    # the center at 1 and the other n-2 leaves at 2
+    from parallel_betweenness_centrality_using_bsp_spark.operators.anf import harmonic_sketch
+
+    n = 12
+    edges = [(0, i) for i in range(1, n)]
+    got = {
+        r["vertex"]: r["harmonic_est"]
+        for r in harmonic_sketch(spark, edge_df(spark, edges), hops=2, k=64).collect()
+    }
+    assert abs(got[0] - (n - 1)) < 1e-9
+    for v in range(1, n):
+        assert abs(got[v] - (1.0 + (n - 2) / 2.0)) < 1e-9
