@@ -75,36 +75,101 @@ def main() -> None:
     out["triangles_oriented_sec"] = round(time.monotonic() - t0, 2)
     out["triangle_count"] = tri
 
-    und = symmetrize(g).repartition(int(cpus), "src").persist()
-    und.count()
-    t0 = time.monotonic()
-    paths = (
-        und.alias("e1")
-        .join(und.alias("e2"), F.col("e1.dst") == F.col("e2.src"))
-        .where(F.col("e1.src") < F.col("e2.dst"))
-        .select(F.col("e1.src").alias("a"), F.col("e1.dst").alias("b"), F.col("e2.dst").alias("c"))
-    )
-    naive = (
-        paths.join(
-            und.select(F.col("src").alias("a"), F.col("dst").alias("c")),
-            ["a", "c"],
-            "left_semi",
-        ).count()
-        // 3  # each triangle found via all 3 middle vertices (a<c fixed per b)
-    )
-    out["triangles_naive_sec"] = round(time.monotonic() - t0, 2)
-    out["triangle_count_naive"] = naive
-    und.unpersist()
-
-    # -- adamic-adar: hub-pruned (cap 256) vs unpruned ---------------------
+    # -- adamic-adar: hub-pruned (cap 256), the engine plan ----------------
     t0 = time.monotonic()
     aa = adamic_adar_scores(g, max_neighbor_degree=256).count()
     out["adamic_adar_pruned_sec"] = round(time.monotonic() - t0, 2)
     out["adamic_adar_pruned_pairs"] = aa
+
+    # -- naive sides, each guarded: the d^2 blow-up either finishes, runs
+    #    out the wall-clock budget (job-group cancel), or runs the BOX out
+    #    of shuffle-spill disk — whichever happens is recorded, per the
+    #    module docstring. A first 8M-edge attempt genuinely exhausted the
+    #    box's ~80 GB of free /tmp with 2-path shuffle spill (java.io.
+    #    IOException: No space left on device) — that crash-log IS the
+    #    skew story, so the guard exists to capture it as a row instead of
+    #    dying with an empty SKEW_BENCH.json.
+    def guarded(tag: str, budget_s: float, fn):
+        import threading
+
+        group = f"naive-{tag}"
+        spark.sparkContext.setJobGroup(group, tag, interruptOnCancel=True)
+        done = threading.Event()
+
+        def reaper():
+            if not done.wait(budget_s):
+                spark.sparkContext.cancelJobGroup(group)
+
+        t = threading.Thread(target=reaper, daemon=True)
+        t.start()
+        t0 = time.monotonic()
+        try:
+            val = fn()
+            out[f"{tag}_sec"] = round(time.monotonic() - t0, 2)
+            return val
+        except Exception as exc:  # cancelled / out-of-disk / OOM — record it
+            elapsed = round(time.monotonic() - t0, 2)
+            msg = str(exc)
+            kind = (
+                "disk_exhausted"
+                if "No space left" in msg
+                else "cancelled_budget" if elapsed >= budget_s else "failed"
+            )
+            out[f"{tag}_sec"] = elapsed
+            out[f"{tag}_dnf"] = kind
+            out[f"{tag}_error"] = msg.splitlines()[0][:300]
+            return None
+        finally:
+            done.set()
+            spark.sparkContext.setJobGroup("", "")
+
+    def naive_triangles(edges):
+        und = symmetrize(edges).repartition(int(cpus), "src").persist()
+        und.count()
+        try:
+            paths = (
+                und.alias("e1")
+                .join(und.alias("e2"), F.col("e1.dst") == F.col("e2.src"))
+                .where(F.col("e1.src") < F.col("e2.dst"))
+                .select(
+                    F.col("e1.src").alias("a"),
+                    F.col("e1.dst").alias("b"),
+                    F.col("e2.dst").alias("c"),
+                )
+            )
+            return (
+                paths.join(
+                    und.select(F.col("src").alias("a"), F.col("dst").alias("c")),
+                    ["a", "c"],
+                    "left_semi",
+                ).count()
+                // 3  # each triangle found via all 3 middle vertices
+            )
+        finally:
+            und.unpersist()
+
+    out["triangle_count_naive"] = guarded(
+        "triangles_naive", 420.0, lambda: naive_triangles(g)
+    )
+    out["adamic_adar_unpruned_pairs"] = guarded(
+        "adamic_adar_unpruned",
+        420.0,
+        lambda: adamic_adar_scores(g, max_neighbor_degree=None).count(),
+    )
+
+    # Secondary pair at 1/4 the edges so the naive side can usually FINISH
+    # and the reader gets a finite ratio too, not only the 8M DNF row.
+    g_small = random_power_law_graph(
+        spark, N_VERT // 4, N_EDGE // 4, seed=42, gamma=GAMMA
+    ).persist()
+    g_small.count()
     t0 = time.monotonic()
-    aa_full = adamic_adar_scores(g, max_neighbor_degree=None).count()
-    out["adamic_adar_unpruned_sec"] = round(time.monotonic() - t0, 2)
-    out["adamic_adar_unpruned_pairs"] = aa_full
+    out["triangle_count_small"] = triangle_count(spark, g_small)
+    out["triangles_oriented_small_sec"] = round(time.monotonic() - t0, 2)
+    out["triangle_count_naive_small"] = guarded(
+        "triangles_naive_small", 420.0, lambda: naive_triangles(g_small)
+    )
+    g_small.unpersist()
 
     # -- hub-keyed aggregation: two_phase_sum vs plain groupBy -------------
     vals = g.select("dst", F.lit(1.0).alias("v")).persist()
