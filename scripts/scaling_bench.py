@@ -21,6 +21,16 @@ the same numpy kernel — Spark matches the hardware ceiling):
 Also reports fixed-core partition-count scaling (8 vs 32 shuffle partitions
 at local[32]), isolating partitioning behavior from hardware limits.
 
+``--pin`` runs every measurement JVM under ``taskset -c 0..N-1`` so the
+process gets EXACTLY the cores its ``local[N]`` claims (see the PIN note
+below): ``local[N]`` alone bounds task threads only, while GC,
+shuffle-compression and Python-UDF worker processes spill onto whatever
+cores are free — capacity a real N-cores-per-executor container does not
+have.  Pinned rows (written as ``{key}_pinned``) are the
+constant-helper-ratio analog of N → 4N executors; unpinned rows model
+executors with dedicated task cores plus uncounted overhead capacity.
+Both are reported.
+
 Writes BENCH_SCALING.json; numbers are summarized in BASELINE.md.
 """
 from __future__ import annotations
@@ -31,6 +41,24 @@ import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# --pin: run each measurement JVM under `taskset -c 0..cores-1` so the
+# process gets EXACTLY the cores its local[N] claims.  Without pinning,
+# local[N] bounds only TASK threads — GC, shuffle-compression, Netty and
+# block-manager threads run on whatever other cores are free, which
+# inflates the lo side most (a local[1] JVM on an otherwise-idle 32-core
+# box is really "1 task core + free helper cores", something a real
+# 1-core-per-executor cluster never gets) and so UNDERSTATES scaling
+# efficiency.  Measured on the ingest pair: unpinned 0.57 vs pinned 0.65
+# with the lo side 30% slower once its helpers share core 0.  Pinned rows
+# are written under `{key}_pinned` so the two methodologies never mix.
+PIN = False
+
+
+def _maybe_pin(argv: list[str], cores: int) -> list[str]:
+    if PIN:
+        return ["taskset", "-c", f"0-{cores - 1}" if cores > 1 else "0"] + argv
+    return argv
 
 CHILD = r"""
 import json, os, sys, time
@@ -92,7 +120,8 @@ def run_level(
         "nsrc": nsrc, "pr_iters": pr_iters,
     }
     out = subprocess.run(
-        [sys.executable, "-c", code], capture_output=True, text=True, timeout=3600
+        _maybe_pin([sys.executable, "-c", code], cores),
+        capture_output=True, text=True, timeout=3600,
     )
     for line in out.stdout.splitlines():
         if line.startswith("RESULT "):
@@ -186,7 +215,8 @@ def run_bucket_level(cores: int, parts: int, nv: int, ne: int,
         "pr_iters": pr_iters, "bucket": repr(bucket),
     }
     out = subprocess.run(
-        [sys.executable, "-c", code], capture_output=True, text=True, timeout=3600
+        _maybe_pin([sys.executable, "-c", code], cores),
+        capture_output=True, text=True, timeout=3600,
     )
     for line in out.stdout.splitlines():
         if line.startswith("RESULT "):
@@ -222,12 +252,16 @@ print("RESULT " + json.dumps({
 """
 
 
-def run_ingest_level(cores: int, parts: int, n_files: int) -> dict:
+def run_ingest_level(
+    cores: int, parts: int, n_files: int, env: dict | None = None
+) -> dict:
     code = INGEST_CHILD % {
         "repo": REPO, "cores": cores, "parts": parts, "n_files": n_files,
     }
     out = subprocess.run(
-        [sys.executable, "-c", code], capture_output=True, text=True, timeout=3600
+        _maybe_pin([sys.executable, "-c", code], cores),
+        capture_output=True, text=True, timeout=3600,
+        env={**os.environ, **(env or {})},
     )
     for line in out.stdout.splitlines():
         if line.startswith("RESULT "):
@@ -238,13 +272,18 @@ def run_ingest_level(cores: int, parts: int, n_files: int) -> dict:
 
 
 STAGES = ("core14", "amort8", "amort16", "core832", "amort832", "parts",
-          "bucketed", "ingest", "ingest64")
+          "bucketed", "ingest", "ingest64", "ingestshm")
 
 
 def main() -> None:
+    global PIN
+    args = set(sys.argv[1:])
+    if "--pin" in args:
+        PIN = True
+        args.discard("--pin")
     # 16M and bucketed are opt-in (long)
-    only = set(sys.argv[1:]) or set(STAGES) - {
-        "amort16", "amort832", "bucketed", "ingest64"
+    only = args or set(STAGES) - {
+        "amort16", "amort832", "bucketed", "ingest64", "ingestshm"
     }
     new: dict = {}
 
@@ -351,6 +390,28 @@ def main() -> None:
             ),
         }
 
+    if "ingestshm" in only:
+        # Attribution experiment (opt-in): the disk-bound residual claim.
+        # The 1->4 ingest pair reads ~0.55 and profiling attributes the
+        # residual to the shuffle-WRITE path (every shuffle write lands in
+        # spark.local.dir on the box's one shared disk, so four cores queue
+        # on the same spindle).  Re-running the IDENTICAL pair with
+        # SPARK_LOCAL_DIRS on a RAM-backed tmpfs removes the disk without
+        # touching a line of the engine: if efficiency rises toward the
+        # 0.80 the join stages measure alone, the ceiling is the device,
+        # not the plan — and a real cluster adds local disk with every
+        # node, which is exactly the shm condition at scale.
+        shm = {"SPARK_LOCAL_DIRS": "/dev/shm/spark-local"}
+        lo = run_ingest_level(1, 8, 1_600_000, env=shm)
+        hi = run_ingest_level(4, 8, 1_600_000, env=shm)
+        new["ingest_scaling_1_to_4_shm_localdirs"] = {
+            "lo": lo,
+            "hi": hi,
+            "efficiency_ingest": round(
+                (hi["files_per_sec"] / lo["files_per_sec"]) / 4.0, 4
+            ),
+        }
+
     if "ingest64" in only:
         # the next amortization point, 6.4M files (opt-in: the lo side runs
         # minutes) — same serial-floor story as the pagerank 2M->8M->16M series
@@ -364,6 +425,9 @@ def main() -> None:
             ),
         }
 
+    if PIN:
+        # pinned rows never share a key (or an attempts list) with unpinned
+        new = {f"{k}_pinned": v for k, v in new.items()}
     path = os.path.join(REPO, "BENCH_SCALING.json")
     merged = _merge(path, new)
     with open(path, "w") as f:
